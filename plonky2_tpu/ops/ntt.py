@@ -1,0 +1,102 @@
+"""Batched Goldilocks NTT on TPU — pure-XLA (jnp) implementation.
+
+Stage-per-pass radix-2 butterfly network over the (lo, hi) uint32-pair field
+representation from ``field.gf_jax``.  Fully static shapes; the log2(n) stage
+loop unrolls at trace time so XLA fuses butterflies with the twiddle
+multiplies.  A Pallas fused multi-stage kernel can later replace this without
+changing the interface.
+
+Matches the numpy oracle ``field.fft_numpy`` (and therefore the reference
+``field/src/fft.rs`` contract): natural-order evaluations of the canonical
+two-adic domain.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import gf_jax as gf
+from ..field import goldilocks as gl
+from ..field import fft_numpy as fnp
+from ..utils.bits import bit_reverse_indices, log2_strict
+
+
+@functools.lru_cache(maxsize=None)
+def twiddle_tables(n: int, inverse: bool):
+    """Per-stage twiddles as device (lo, hi) pairs; host-cached."""
+    tw = fnp._inv_stage_twiddles(n) if inverse else fnp.stage_twiddles(n)
+    return tuple(gf.from_u64(t) for t in tw)
+
+
+@functools.lru_cache(maxsize=None)
+def bitrev_perm(n: int):
+    return jnp.asarray(bit_reverse_indices(n))
+
+
+def _ntt_core(a_lo, a_hi, twiddles):
+    n = a_lo.shape[-1]
+    bits = log2_strict(n)
+    perm = bitrev_perm(n)
+    a_lo = jnp.take(a_lo, perm, axis=-1)
+    a_hi = jnp.take(a_hi, perm, axis=-1)
+    batch = a_lo.shape[:-1]
+    for s in range(bits):
+        half = 1 << s
+        length = half * 2
+        shape = (*batch, n // length, length)
+        x_lo = a_lo.reshape(shape)
+        x_hi = a_hi.reshape(shape)
+        u = (x_lo[..., :half], x_hi[..., :half])
+        w = twiddles[s]
+        v = gf.mul((x_lo[..., half:], x_hi[..., half:]), w)
+        s_ = gf.add(u, v)
+        d_ = gf.sub(u, v)
+        a_lo = jnp.concatenate([s_[0], d_[0]], axis=-1).reshape(*batch, n)
+        a_hi = jnp.concatenate([s_[1], d_[1]], axis=-1).reshape(*batch, n)
+    return a_lo, a_hi
+
+
+def ntt(a, inverse: bool = False):
+    """a: (lo, hi) pair, last axis = poly axis (power of two)."""
+    n = a[0].shape[-1]
+    out = _ntt_core(a[0], a[1], twiddle_tables(n, inverse))
+    if inverse:
+        out = gf.mul_const(out, gl.s_inv(n))
+    return out
+
+
+def coset_ntt(coeffs, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR):
+    n = coeffs[0].shape[-1]
+    sp = gf.from_u64(gl.powers(shift, n))
+    return ntt(gf.mul(coeffs, sp))
+
+
+def coset_intt(values, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR):
+    n = values[0].shape[-1]
+    coeffs = ntt(values, inverse=True)
+    sp = gf.from_u64(gl.powers(gl.s_inv(shift), n))
+    return gf.mul(coeffs, sp)
+
+
+def lde_coset_ntt(coeffs, rate_bits: int,
+                  shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR):
+    """zero-pad to n*2^rate_bits, multiply by shift powers, forward NTT.
+
+    Mirrors the reference pipeline lde->mul_shift->fft
+    (cuda/plonky2_gpu_impl.cuh:261-313); the zero tail is materialized (XLA
+    pads cheaply) — the zero-tail butterfly skip is a later Pallas
+    optimization.
+    """
+    n = coeffs[0].shape[-1]
+    m = n << rate_bits
+    pad = [(0, 0)] * (coeffs[0].ndim - 1) + [(0, m - n)]
+    padded = (jnp.pad(coeffs[0], pad), jnp.pad(coeffs[1], pad))
+    return coset_ntt(padded, shift)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def ntt_jit(a, inverse: bool = False):
+    return ntt(a, inverse)
