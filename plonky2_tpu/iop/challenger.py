@@ -1,0 +1,81 @@
+"""Fiat-Shamir Challenger — duplex Poseidon sponge, host side.
+
+Transcript-exact mirror of the reference (plonky2/src/iop/challenger.rs:16-156):
+overwrite-mode absorb, output buffer popped from the END, any observe clears
+buffered outputs.  All values are canonical python ints / numpy uint64.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ..hash import poseidon as pos
+
+
+class Challenger:
+    def __init__(self):
+        self.sponge_state = np.zeros(pos.WIDTH, dtype=np.uint64)
+        self.input_buffer: List[int] = []
+        self.output_buffer: List[int] = []
+
+    def observe_element(self, element) -> None:
+        self.output_buffer.clear()
+        self.input_buffer.append(int(element))
+        if len(self.input_buffer) == pos.SPONGE_RATE:
+            self._duplexing()
+
+    def observe_elements(self, elements: Sequence) -> None:
+        for e in np.asarray(elements, dtype=np.uint64).reshape(-1):
+            self.observe_element(e)
+
+    def observe_extension_element(self, element) -> None:
+        """element: (2,) array or 2-tuple of basefield coordinates."""
+        a = np.asarray(element, dtype=np.uint64).reshape(-1)
+        assert a.shape[0] == 2
+        self.observe_elements(a)
+
+    def observe_extension_elements(self, elements) -> None:
+        for e in np.asarray(elements, dtype=np.uint64).reshape(-1, 2):
+            self.observe_extension_element(e)
+
+    def observe_hash(self, hash4) -> None:
+        self.observe_elements(np.asarray(hash4, dtype=np.uint64).reshape(4))
+
+    def observe_cap(self, cap) -> None:
+        """cap: MerkleCap or (k, 4) digest array."""
+        digests = cap.digests if hasattr(cap, "digests") else np.asarray(cap)
+        for d in digests.reshape(-1, 4):
+            self.observe_hash(d)
+
+    def get_challenge(self) -> int:
+        if self.input_buffer or not self.output_buffer:
+            self._duplexing()
+        return self.output_buffer.pop()
+
+    def get_n_challenges(self, n: int) -> List[int]:
+        return [self.get_challenge() for _ in range(n)]
+
+    def get_hash(self) -> np.ndarray:
+        return np.array(self.get_n_challenges(4), dtype=np.uint64)
+
+    def get_extension_challenge(self) -> tuple:
+        c = self.get_n_challenges(2)
+        return (c[0], c[1])
+
+    def get_n_extension_challenges(self, n: int) -> List[tuple]:
+        return [self.get_extension_challenge() for _ in range(n)]
+
+    def _duplexing(self) -> None:
+        assert len(self.input_buffer) <= pos.SPONGE_RATE
+        for i, v in enumerate(self.input_buffer):
+            self.sponge_state[i] = v
+        self.input_buffer.clear()
+        self.sponge_state = pos.poseidon(self.sponge_state)
+        self.output_buffer = [int(x) for x in self.sponge_state[:pos.SPONGE_RATE]]
+
+    def compact(self) -> np.ndarray:
+        if self.input_buffer:
+            self._duplexing()
+        self.output_buffer.clear()
+        return self.sponge_state.copy()
