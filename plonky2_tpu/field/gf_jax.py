@@ -32,13 +32,17 @@ GF = tuple
 # ---------------------------------------------------------------------------
 
 def from_u64(x) -> GF:
-    """numpy uint64 array (host) -> (lo, hi) uint32 device pair."""
+    """numpy uint64 array (host) -> (lo, hi) uint32 pair.
+
+    Returns NUMPY arrays (jnp ops consume them as constants); materializing
+    jnp arrays here would capture tracers when called under jit from an
+    lru_cache (constants caches are shared across traces)."""
     import numpy as np
 
     x = np.asarray(x, dtype=np.uint64)
     lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (x >> np.uint64(32)).astype(np.uint32)
-    return jnp.asarray(lo), jnp.asarray(hi)
+    return lo, hi
 
 
 def to_u64(a: GF):

@@ -157,6 +157,34 @@ def powers(base: int, n: int) -> np.ndarray:
     return out
 
 
+def modsum(a: np.ndarray, axis=-1) -> np.ndarray:
+    """Exact modular sum along an axis (splits 32-bit halves so partial sums
+    never overflow uint64; valid for up to 2^26 canonical summands)."""
+    a = np.asarray(a, dtype=_U64)
+    assert a.shape[axis] <= (1 << 26)
+    lo = (a & _M32).sum(axis=axis)
+    hi = (a >> _U64(32)).sum(axis=axis)
+    low = lo + ((hi & _M32) << _U64(32))
+    carry = (low < lo).astype(_U64)
+    high = (hi >> _U64(32)) + carry
+    return reduce128(low, high)
+
+
+def prefix_prod_exclusive(a: np.ndarray) -> np.ndarray:
+    """out[i] = prod_{j<i} a[j] (out[0]=1), via log-doubling vectorized muls."""
+    a = np.asarray(a, dtype=_U64)
+    n = a.shape[0]
+    x = np.ones(n, dtype=_U64)
+    x[1:] = a[:-1]
+    shift = 1
+    while shift < n:
+        y = x.copy()
+        y[shift:] = mul(x[shift:], x[:-shift])
+        x = y
+        shift <<= 1
+    return x
+
+
 # ---------------------------------------------------------------------------
 # scalar (python-int) helpers for host protocol logic
 # ---------------------------------------------------------------------------

@@ -30,6 +30,20 @@ from .structure import FriInstanceInfo
 SALT_SIZE = 4  # reference fri/oracle.rs:41
 
 
+def _auto_device() -> bool:
+    """Use the JAX device pipeline only on a real accelerator; on CPU the
+    numpy oracle outruns XLA compilation for one-shot commits."""
+    import os
+    force = os.environ.get("PLONKY2_TPU_FORCE_DEVICE")
+    if force is not None:
+        return force not in ("0", "false", "")
+    try:
+        import jax
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 class PolynomialBatch:
     def __init__(self, polynomials: np.ndarray, leaves: np.ndarray,
                  merkle_tree: mk.MerkleTree, degree_log: int, rate_bits: int,
@@ -45,10 +59,12 @@ class PolynomialBatch:
 
     @staticmethod
     def from_values(values: np.ndarray, rate_bits: int, blinding: bool,
-                    cap_height: int, use_device: bool = True,
+                    cap_height: int, use_device: bool | None = None,
                     salt_rng: Optional[np.random.Generator] = None
                     ) -> "PolynomialBatch":
         values = np.asarray(values, dtype=np.uint64)
+        if use_device is None:
+            use_device = _auto_device()
         if use_device:
             from ..field import gf_jax as gf
             from ..ops.commit import commit_from_values
@@ -65,10 +81,12 @@ class PolynomialBatch:
 
     @staticmethod
     def from_coeffs(polynomials: np.ndarray, rate_bits: int, blinding: bool,
-                    cap_height: int, use_device: bool = True,
+                    cap_height: int, use_device: bool | None = None,
                     salt_rng: Optional[np.random.Generator] = None
                     ) -> "PolynomialBatch":
         polynomials = np.asarray(polynomials, dtype=np.uint64)
+        if use_device is None:
+            use_device = _auto_device()
         if use_device:
             from ..field import gf_jax as gf
             from ..ops.commit import commit_from_coeffs

@@ -73,27 +73,36 @@ def _mds(state):
     return gf.reduce128(s0, s1, s2, zero)
 
 
+def _full_round(carry, rc):
+    s = gf.add(carry, rc)
+    s = _sbox(s)
+    return _mds(s), None
+
+
+def _partial_round(carry, rc):
+    s = gf.add(carry, rc)
+    s0 = _sbox((s[0][..., :1], s[1][..., :1]))
+    s = (jnp.concatenate([s0[0], s[0][..., 1:]], axis=-1),
+         jnp.concatenate([s0[1], s[1][..., 1:]], axis=-1))
+    return _mds(s), None
+
+
 def poseidon(state):
-    """Permutation: state = (lo, hi) uint32 pair, shape (..., 12)."""
+    """Permutation: state = (lo, hi) uint32 pair, shape (..., 12).
+
+    Rounds run under lax.scan (4 full / 22 partial / 4 full) so the traced
+    graph holds one round body each instead of 30 — keeps XLA compile time of
+    the fused commit pipeline sane."""
+    import jax
+
     rc_lo, rc_hi = _round_constant_pairs()
-    round_ctr = 0
-    for _ in range(pos.HALF_N_FULL_ROUNDS):
-        state = gf.add(state, (rc_lo[round_ctr], rc_hi[round_ctr]))
-        state = _sbox(state)
-        state = _mds(state)
-        round_ctr += 1
-    for _ in range(pos.N_PARTIAL_ROUNDS):
-        state = gf.add(state, (rc_lo[round_ctr], rc_hi[round_ctr]))
-        s0 = _sbox((state[0][..., :1], state[1][..., :1]))
-        state = (jnp.concatenate([s0[0], state[0][..., 1:]], axis=-1),
-                 jnp.concatenate([s0[1], state[1][..., 1:]], axis=-1))
-        state = _mds(state)
-        round_ctr += 1
-    for _ in range(pos.HALF_N_FULL_ROUNDS):
-        state = gf.add(state, (rc_lo[round_ctr], rc_hi[round_ctr]))
-        state = _sbox(state)
-        state = _mds(state)
-        round_ctr += 1
+    h = pos.HALF_N_FULL_ROUNDS
+    p = pos.N_PARTIAL_ROUNDS
+    state = (jnp.asarray(state[0]), jnp.asarray(state[1]))
+    state, _ = jax.lax.scan(_full_round, state, (rc_lo[:h], rc_hi[:h]))
+    state, _ = jax.lax.scan(_partial_round, state,
+                            (rc_lo[h:h + p], rc_hi[h:h + p]))
+    state, _ = jax.lax.scan(_full_round, state, (rc_lo[h + p:], rc_hi[h + p:]))
     return state
 
 

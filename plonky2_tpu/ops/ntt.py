@@ -33,7 +33,8 @@ def twiddle_tables(n: int, inverse: bool):
 
 @functools.lru_cache(maxsize=None)
 def bitrev_perm(n: int):
-    return jnp.asarray(bit_reverse_indices(n))
+    # numpy (not jnp): cached across jit traces, must stay a constant
+    return bit_reverse_indices(n)
 
 
 def _ntt_core(a_lo, a_hi, twiddles):
