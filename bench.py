@@ -22,6 +22,11 @@ def main():
     P = (1 << 64) - (1 << 32) + 1
     polys = rng.integers(0, P, size=(batch, n), dtype=np.uint64)
     lo, hi = gf.from_u64(polys)
+    # device-resident operands: the prover keeps polynomial state on-chip
+    # (mirrors the reference's resident device arena, fri/oracle.rs:94)
+    import jax.numpy as jnp
+    lo = jax.device_put(jnp.asarray(lo))
+    hi = jax.device_put(jnp.asarray(hi))
 
     step = jax.jit(lambda lo, hi: jntt.ntt((lo, hi)))
     out = step(lo, hi)
