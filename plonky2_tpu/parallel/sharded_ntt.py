@@ -1,0 +1,97 @@
+"""Four-step (Bailey/transpose) NTT — the scaling-axis decomposition.
+
+An n = n1*n2 NTT becomes: column NTTs (size n1) -> twiddle w_n^(k1*i2) ->
+row NTTs (size n2) -> transpose.  This is BOTH the intra-NTT sharding recipe
+(SURVEY.md §7 step 9: shard the i2 axis, the only cross-device exchange is the
+final transpose = one all-to-all over ICI) and a better single-chip schedule
+(sub-NTT butterflies act on contiguous 128-lane-wide tiles).
+
+Matches ops/ntt.py and field/fft_numpy.py bit-for-bit.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import gf_jax as gf
+from ..field import goldilocks as gl
+from ..field import fft_numpy as fnp
+from ..ops import ntt as base_ntt
+from ..utils.bits import log2_strict
+
+
+@functools.lru_cache(maxsize=None)
+def _step2_twiddles(n1: int, n2: int, inverse: bool):
+    """(n1, n2) table W[k1, i2] = w_n^(±k1*i2), as numpy (lo, hi) pair."""
+    n = n1 * n2
+    g = gl.primitive_root_of_unity(log2_strict(n))
+    if inverse:
+        g = gl.s_inv(g)
+    rows = gl.powers(g, n1)  # g^k1
+    table = np.empty((n1, n2), dtype=np.uint64)
+    for k1 in range(n1):
+        table[k1] = gl.powers(int(rows[k1]), n2)
+    return gf.from_u64(table)
+
+
+def _ntt_along_axis0(a, n1: int, inverse: bool):
+    """Size-n1 NTT along axis 0 of (n1, n2) arrays (vectorized over axis 1)."""
+    lo = jnp.swapaxes(a[0], 0, 1)
+    hi = jnp.swapaxes(a[1], 0, 1)
+    out = base_ntt._ntt_core(lo, hi, base_ntt.twiddle_tables(n1, inverse))
+    return jnp.swapaxes(out[0], 0, 1), jnp.swapaxes(out[1], 0, 1)
+
+
+def four_step_ntt(coeffs, inverse: bool = False, n1: int | None = None,
+                  shard_axis: str | None = None):
+    """coeffs: (n,) pair -> (n,) pair of evaluations in natural order.
+
+    If `shard_axis` is given, intermediate arrays are sharding-constrained so
+    that under jit+mesh the column NTTs stay device-local and XLA inserts a
+    single all-to-all at the transpose.
+    """
+    n = coeffs[0].shape[-1]
+    bits = log2_strict(n)
+    if n1 is None:
+        n1 = 1 << (bits // 2)
+    n2 = n // n1
+
+    x = (coeffs[0].reshape(n1, n2), coeffs[1].reshape(n1, n2))
+
+    def constrain(v, spec):
+        if shard_axis is None:
+            return v
+        from jax.sharding import PartitionSpec as P
+        s = P(*spec)
+        return (jax.lax.with_sharding_constraint(v[0], s),
+                jax.lax.with_sharding_constraint(v[1], s))
+
+    # columns sharded: each device owns a slice of i2
+    x = constrain(x, (None, shard_axis))
+    # step 1: size-n1 NTTs down the columns (local)
+    a = _ntt_along_axis0(x, n1, inverse)
+    # step 2: twiddle W[k1, i2] (local)
+    tw = _step2_twiddles(n1, n2, inverse)
+    a = gf.mul(a, tw)
+    a = constrain(a, (None, shard_axis))
+    # step 3: size-n2 NTTs along the rows — needs full rows: reshard to
+    # row-sharded (the all-to-all happens here)
+    a = constrain(a, (shard_axis, None))
+    b = base_ntt._ntt_core(a[0], a[1], base_ntt.twiddle_tables(n2, inverse))
+    # step 4: output X[k2*n1 + k1] = B[k1, k2] — transpose and flatten
+    out = (b[0].T.reshape(n), b[1].T.reshape(n))
+    out = constrain(out, (shard_axis,))
+    if inverse:
+        out = gf.mul_const(out, gl.s_inv(n))
+    return out
+
+
+def batched_four_step_ntt(coeffs, inverse: bool = False,
+                          shard_axis: str | None = None):
+    """(B, n) pair -> (B, n) pair via vmap over the batch."""
+    fn = functools.partial(four_step_ntt, inverse=inverse,
+                           shard_axis=shard_axis)
+    return jax.vmap(lambda lo, hi: fn((lo, hi)))(coeffs[0], coeffs[1])

@@ -49,3 +49,15 @@ def test_tampered_opening_rejected(fib_proof):
     bad.proof.openings.wires[0][0] ^= np.uint64(1)
     with pytest.raises((ProofVerificationError, FriVerificationError)):
         data.verify(bad)
+
+
+def test_proof_serialization_roundtrip(fib_proof):
+    from plonky2_tpu.utils.serialization import deserialize_proof, serialize_proof
+    data, proof, _ = fib_proof
+    raw = serialize_proof(proof)
+    assert isinstance(raw, bytes) and len(raw) > 1000
+    restored = deserialize_proof(raw, data.common)
+    assert restored.public_inputs == proof.public_inputs
+    data.verify(restored)  # deserialized proof still verifies
+    # byte-determinism
+    assert serialize_proof(restored) == raw
