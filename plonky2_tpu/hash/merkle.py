@@ -87,13 +87,27 @@ class MerkleTree:
 
 def verify_merkle_proof_to_cap(leaf: np.ndarray, leaf_index: int,
                                cap: MerkleCap, proof: MerkleProof) -> bool:
-    """reference merkle_proofs.rs verify_merkle_proof_to_cap."""
-    h = hash_leaves_or_noop(np.asarray(leaf, dtype=np.uint64)[None, :])[0]
+    """reference merkle_proofs.rs verify_merkle_proof_to_cap.
+
+    Scalar path runs on python ints (poseidon_ints) — ~10x faster than
+    per-node numpy for the verifier's 28 query rounds."""
+    leaf = [int(x) for x in np.asarray(leaf, dtype=np.uint64).reshape(-1)]
+    if len(leaf) <= 4:
+        h = leaf + [0] * (4 - len(leaf))
+    else:
+        state = [0] * 12
+        for start in range(0, len(leaf), 8):
+            chunk = leaf[start:start + 8]
+            state = chunk + state[len(chunk):]
+            state = pos.poseidon_ints(state)
+        h = state[:4]
     idx = leaf_index
     for sib in proof.siblings:
+        sib = [int(x) for x in sib]
         if idx & 1:
-            h = pos.compress(sib, h)
+            state = sib + h + [0, 0, 0, 0]
         else:
-            h = pos.compress(h, sib)
+            state = h + sib + [0, 0, 0, 0]
+        h = pos.poseidon_ints(state)[:4]
         idx >>= 1
-    return bool(np.array_equal(h, cap.digests[idx]))
+    return [int(x) for x in cap.digests[idx]] == h

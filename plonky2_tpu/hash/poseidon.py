@@ -89,6 +89,80 @@ def poseidon(state: np.ndarray) -> np.ndarray:
     return state
 
 
+_RC_INT = [int(x) for x in ALL_ROUND_CONSTANTS]
+_MDS_INT = [[int(x) for x in row] for row in MDS_MATRIX]
+_P = gl.P
+
+
+_FAST_CACHE = {}
+
+
+def _fast_consts():
+    """Fast partial-round tables as python ints (lazy, avoids import cycle)."""
+    if not _FAST_CACHE:
+        from . import poseidon_schedule as ps
+        _FAST_CACHE["fprc"] = [int(x) for x in ps.FAST_PARTIAL_ROUND_CONSTANTS]
+        _FAST_CACHE["first"] = [int(x) for x in ps.FAST_PARTIAL_FIRST_ROUND_CONSTANT]
+        _FAST_CACHE["vs"] = [[int(x) for x in row] for row in ps.FAST_PARTIAL_ROUND_VS]
+        _FAST_CACHE["whats"] = [[int(x) for x in row] for row in ps.FAST_PARTIAL_ROUND_W_HATS]
+        _FAST_CACHE["init"] = [[int(x) for x in row] for row in ps.FAST_PARTIAL_ROUND_INITIAL_MATRIX]
+        _FAST_CACHE["ms0"] = int(MDS_CIRC[0]) + int(MDS_DIAG[0])
+    return _FAST_CACHE
+
+
+def poseidon_ints(state):
+    """Permutation on a single state of 12 python ints — fast scalar path for
+    host work (Merkle path verify, challenger duplexing).  Uses the fast
+    partial-round schedule; output identical to `poseidon`."""
+    fc = _fast_consts()
+    s = [x % _P for x in state]
+    rc = _RC_INT
+    mds = _MDS_INT
+    ctr = 0
+    for _ in range(HALF_N_FULL_ROUNDS):
+        base = ctr * WIDTH
+        s = [(s[i] + rc[base + i]) for i in range(WIDTH)]
+        for i in range(WIDTH):
+            x = s[i] % _P
+            x2 = x * x % _P
+            s[i] = x2 * x2 % _P * (x2 * x % _P) % _P
+        s = [sum(m_i[c] * s[c] for c in range(WIDTH)) % _P for m_i in mds]
+        ctr += 1
+    # fast partial rounds
+    first = fc["first"]
+    s = [(s[i] + first[i]) % _P for i in range(WIDTH)]
+    init = fc["init"]
+    new = [s[0]]
+    for c in range(1, WIDTH):
+        new.append(sum(init[r - 1][c - 1] * s[r] for r in range(1, WIDTH)) % _P)
+    s = new
+    fprc = fc["fprc"]
+    vs = fc["vs"]
+    whats = fc["whats"]
+    ms0 = fc["ms0"]
+    for r in range(N_PARTIAL_ROUNDS):
+        x = s[0]
+        x2 = x * x % _P
+        s0 = x2 * x2 % _P * (x2 * x % _P) % _P
+        if r < N_PARTIAL_ROUNDS - 1:
+            s0 = (s0 + fprc[r]) % _P
+        w = whats[r]
+        d = (ms0 * s0 + sum(w[i - 1] * s[i] for i in range(1, WIDTH))) % _P
+        v = vs[r]
+        s = [d] + [(s[i] + s0 * v[i - 1]) % _P for i in range(1, WIDTH)]
+    ctr += N_PARTIAL_ROUNDS
+    for _ in range(HALF_N_FULL_ROUNDS):
+        base = ctr * WIDTH
+        s = [(s[i] + rc[base + i]) for i in range(WIDTH)]
+        for i in range(WIDTH):
+            x = s[i] % _P
+            x2 = x * x % _P
+            s[i] = x2 * x2 % _P * (x2 * x % _P) % _P
+        s = [sum(m_i[c] * s[c] for c in range(WIDTH)) % _P for m_i in mds]
+        ctr += 1
+    return s
+
+
 def hash_n_to_m_no_pad(inputs: np.ndarray, num_outputs: int) -> np.ndarray:
     """Overwrite-mode sponge (reference hashing.rs:81-104). inputs: 1-D."""
     inputs = np.asarray(inputs, dtype=np.uint64)

@@ -68,11 +68,13 @@ class Challenger:
 
     def _duplexing(self) -> None:
         assert len(self.input_buffer) <= pos.SPONGE_RATE
+        state = [int(x) for x in self.sponge_state]
         for i, v in enumerate(self.input_buffer):
-            self.sponge_state[i] = v
+            state[i] = v
         self.input_buffer.clear()
-        self.sponge_state = pos.poseidon(self.sponge_state)
-        self.output_buffer = [int(x) for x in self.sponge_state[:pos.SPONGE_RATE]]
+        state = pos.poseidon_ints(state)
+        self.sponge_state = np.array(state, dtype=np.uint64)
+        self.output_buffer = list(state[:pos.SPONGE_RATE])
 
     def compact(self) -> np.ndarray:
         if self.input_buffer:

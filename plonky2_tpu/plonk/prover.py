@@ -27,7 +27,10 @@ from .vanishing import eval_vanishing_poly
 
 
 def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
-          inputs: PartialWitness, use_device: bool = True) -> ProofWithPublicInputs:
+          inputs: PartialWitness, use_device: bool | None = None,
+          timing=None) -> ProofWithPublicInputs:
+    from ..utils.timing import NoopTimingTree
+    timing = timing if timing is not None else NoopTimingTree()
     config = common_data.config
     num_challenges = config.num_challenges
     quotient_degree = common_data.quotient_degree()
@@ -36,14 +39,17 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
     cap_height = config.fri_config.cap_height
     zk = config.zero_knowledge
 
-    partition_witness = generate_partial_witness(inputs, prover_data, common_data)
+    with timing.scope("run generators"):
+        partition_witness = generate_partial_witness(inputs, prover_data,
+                                                     common_data)
     public_inputs = partition_witness.get_targets(prover_data.public_inputs)
     public_inputs_hash = pos.hash_no_pad(np.array(public_inputs, dtype=np.uint64))
 
     witness = partition_witness.full_witness()  # (num_wires, degree)
 
-    wires_commitment = PolynomialBatch.from_values(
-        witness, rate_bits, zk, cap_height, use_device=use_device)
+    with timing.scope("compute wires commitment"):
+        wires_commitment = PolynomialBatch.from_values(
+            witness, rate_bits, zk, cap_height, use_device=use_device)
 
     challenger = Challenger()
     challenger.observe_hash(prover_data.circuit_digest)
@@ -54,41 +60,50 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
 
     assert common_data.quotient_degree_factor < config.num_routed_wires
 
-    zs_partial_products = _all_wires_partial_products(
-        witness, betas, gammas, prover_data, common_data)
+    with timing.scope("compute partial products"):
+        zs_partial_products = _all_wires_partial_products(
+            witness, betas, gammas, prover_data, common_data)
 
-    zs_partial_products_commitment = PolynomialBatch.from_values(
-        zs_partial_products, rate_bits, zk, cap_height, use_device=use_device)
+    with timing.scope("commit to partial products and Z's"):
+        zs_partial_products_commitment = PolynomialBatch.from_values(
+            zs_partial_products, rate_bits, zk, cap_height,
+            use_device=use_device)
     challenger.observe_cap(zs_partial_products_commitment.merkle_tree.cap)
 
     alphas = challenger.get_n_challenges(num_challenges)
 
-    quotient_polys = _compute_quotient_polys(
-        common_data, prover_data, public_inputs_hash, wires_commitment,
-        zs_partial_products_commitment, betas, gammas, alphas)
+    with timing.scope("compute quotient polys"):
+        quotient_polys = _compute_quotient_polys(
+            common_data, prover_data, public_inputs_hash, wires_commitment,
+            zs_partial_products_commitment, betas, gammas, alphas)
     # split each quotient poly (8n coeffs) into degree-n chunks
     chunks = quotient_polys.reshape(
         num_challenges * common_data.quotient_degree_factor, degree)
 
-    quotient_polys_commitment = PolynomialBatch.from_coeffs(
-        chunks, rate_bits, zk, cap_height, use_device=use_device)
+    with timing.scope("commit to quotient polys"):
+        quotient_polys_commitment = PolynomialBatch.from_coeffs(
+            chunks, rate_bits, zk, cap_height, use_device=use_device)
     challenger.observe_cap(quotient_polys_commitment.merkle_tree.cap)
 
     zeta = challenger.get_extension_challenge()
     assert ge.s_exp(zeta, degree) != (1, 0), "Opening point is in the subgroup."
 
     g = gl.primitive_root_of_unity(common_data.degree_bits())
-    openings = OpeningSet.new(zeta, g, prover_data.constants_sigmas_commitment,
-                              wires_commitment, zs_partial_products_commitment,
-                              quotient_polys_commitment, common_data)
+    with timing.scope("construct the opening set"):
+        openings = OpeningSet.new(zeta, g,
+                                  prover_data.constants_sigmas_commitment,
+                                  wires_commitment,
+                                  zs_partial_products_commitment,
+                                  quotient_polys_commitment, common_data)
     from ..fri.challenges import observe_openings
     observe_openings(challenger, openings.to_fri_openings())
 
-    opening_proof = PolynomialBatch.prove_openings(
-        common_data.get_fri_instance(zeta),
-        [prover_data.constants_sigmas_commitment, wires_commitment,
-         zs_partial_products_commitment, quotient_polys_commitment],
-        challenger, common_data.fri_params)
+    with timing.scope("compute opening proofs"):
+        opening_proof = PolynomialBatch.prove_openings(
+            common_data.get_fri_instance(zeta),
+            [prover_data.constants_sigmas_commitment, wires_commitment,
+             zs_partial_products_commitment, quotient_polys_commitment],
+            challenger, common_data.fri_params)
 
     return ProofWithPublicInputs(
         proof=Proof(
