@@ -40,16 +40,18 @@ def to_arr(x) -> np.ndarray:
 
 
 def add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    s = a + b  # wrapping
-    over = s < a
-    s = np.where(over, s + _EPS, s)
-    return np.where(s >= _P, s - _P, s)
+    with np.errstate(over="ignore"):  # wrapping is intentional
+        s = a + b
+        over = s < a
+        s = np.where(over, s + _EPS, s)
+        return np.where(s >= _P, s - _P, s)
 
 
 def sub(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    d = a - b  # wrapping
-    borrow = a < b
-    return np.where(borrow, d - _EPS, d)
+    with np.errstate(over="ignore"):  # wrapping is intentional
+        d = a - b
+        borrow = a < b
+        return np.where(borrow, d - _EPS, d)
 
 
 def neg(a: np.ndarray) -> np.ndarray:
@@ -58,20 +60,21 @@ def neg(a: np.ndarray) -> np.ndarray:
 
 def _mul_wide(a: np.ndarray, b: np.ndarray):
     """64x64 -> 128-bit product as (lo64, hi64) uint64 pairs."""
-    a_lo = a & _M32
-    a_hi = a >> _U64(32)
-    b_lo = b & _M32
-    b_hi = b >> _U64(32)
-    ll = a_lo * b_lo
-    lh = a_lo * b_hi
-    hl = a_hi * b_lo
-    hh = a_hi * b_hi
-    mid = lh + hl  # wrapping
-    mid_carry = (mid < lh).astype(_U64)
-    lo = ll + (mid << _U64(32))
-    carry2 = (lo < ll).astype(_U64)
-    hi = hh + (mid >> _U64(32)) + (mid_carry << _U64(32)) + carry2
-    return lo, hi
+    with np.errstate(over="ignore"):  # wrapping u64 arithmetic is intentional
+        a_lo = a & _M32
+        a_hi = a >> _U64(32)
+        b_lo = b & _M32
+        b_hi = b >> _U64(32)
+        ll = a_lo * b_lo
+        lh = a_lo * b_hi
+        hl = a_hi * b_lo
+        hh = a_hi * b_hi
+        mid = lh + hl  # wrapping
+        mid_carry = (mid < lh).astype(_U64)
+        lo = ll + (mid << _U64(32))
+        carry2 = (lo < ll).astype(_U64)
+        hi = hh + (mid >> _U64(32)) + (mid_carry << _U64(32)) + carry2
+        return lo, hi
 
 
 def reduce128(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
@@ -80,14 +83,15 @@ def reduce128(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     Mirrors reference reduce128 (cuda/def.cuh:466-507): with hi = n3*2^32+n2,
     value == lo - n3 + n2*EPSILON (mod p).
     """
-    hi_hi = hi >> _U64(32)
-    hi_lo = hi & _M32
-    t0 = lo - hi_hi
-    t0 = np.where(lo < hi_hi, t0 - _EPS, t0)
-    t1 = hi_lo * _EPS
-    t2 = t0 + t1
-    t2 = np.where(t2 < t1, t2 + _EPS, t2)
-    return np.where(t2 >= _P, t2 - _P, t2)
+    with np.errstate(over="ignore"):  # wrapping u64 arithmetic is intentional
+        hi_hi = hi >> _U64(32)
+        hi_lo = hi & _M32
+        t0 = lo - hi_hi
+        t0 = np.where(lo < hi_hi, t0 - _EPS, t0)
+        t1 = hi_lo * _EPS
+        t2 = t0 + t1
+        t2 = np.where(t2 < t1, t2 + _EPS, t2)
+        return np.where(t2 >= _P, t2 - _P, t2)
 
 
 def mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -162,6 +162,49 @@ class JaxBatch:
         return gf.exp_u64(a, e)
 
 
+class CircuitExtAlgebra:
+    """Values are ExtensionTargets; ops emit gates into a CircuitBuilder.
+
+    Running ANY gate's ``eval_unfiltered`` under this backend produces the
+    in-circuit constraint evaluation the reference hand-writes per gate as
+    ``eval_unfiltered_circuit`` (gates/gate.rs:68) — one definition, every
+    domain, including the recursive verifier.
+    """
+
+    def __init__(self, builder):
+        self.b = builder
+
+    def const(self, c: int):
+        return self.b.constant_extension((c % gl.P, 0))
+
+    def zero(self):
+        return self.b.zero_extension()
+
+    def one(self):
+        return self.b.one_extension()
+
+    def add(self, a, b):
+        return self.b.add_extension(a, b)
+
+    def sub(self, a, b):
+        return self.b.sub_extension(a, b)
+
+    def mul(self, a, b):
+        return self.b.mul_extension(a, b)
+
+    def neg(self, a):
+        return self.b.sub_extension(self.zero(), a)
+
+    def add_const(self, a, c: int):
+        return self.b.add_const_extension(a, c % gl.P)
+
+    def mul_const(self, a, c: int):
+        return self.b.mul_const_extension(c % gl.P, a)
+
+    def exp(self, a, e: int):
+        return self.b.exp_u64_extension(a, e)
+
+
 class EvaluationVars:
     """local_constants/local_wires: lists of algebra values;
     public_inputs_hash: 4 algebra values."""

@@ -12,8 +12,13 @@ import numpy as np
 
 from ..field import goldilocks as gl
 from ..fri.oracle import PolynomialBatch
+from ..fri.recursive_verifier import FriRecursiveGadgets
+from ..gadgets.extension import ExtensionGadgets
+from ..gadgets.merkle import MerkleGadgets
+from ..gadgets.split import SplitGadgets
 from ..gates.basic import ArithmeticGate, ConstantGate, NoopGate, PublicInputGate
 from ..gates.gate import Gate, selector_polynomials
+from ..gates.interpolation import InterpolationGadgets
 from ..gates.poseidon_gate import (WIRE_SWAP, PoseidonGate, wire_input,
                                    wire_output)
 from ..hash import poseidon as pos
@@ -25,6 +30,7 @@ from .circuit_data import (CircuitData, CommonCircuitData,
                            ProverOnlyCircuitData, VerifierOnlyCircuitData)
 from .config import CircuitConfig
 from .permutation import Forest
+from .recursive_verifier import RecursionGadgets
 
 
 class GateInstance:
@@ -35,7 +41,9 @@ class GateInstance:
         self.constants = constants
 
 
-class CircuitBuilder:
+class CircuitBuilder(ExtensionGadgets, SplitGadgets, MerkleGadgets,
+                     InterpolationGadgets, FriRecursiveGadgets,
+                     RecursionGadgets):
     def __init__(self, config: CircuitConfig):
         self.config = config
         self.gate_set: Dict[str, Gate] = {}
@@ -47,6 +55,7 @@ class CircuitBuilder:
         self.constants_to_targets: Dict[int, Target] = {}
         self.targets_to_constants: Dict[Target, int] = {}
         self.base_arithmetic_results: Dict[tuple, Target] = {}
+        self.arithmetic_ext_results: Dict[tuple, tuple] = {}
         # gate-id -> {params(tuple): (gate_idx, slot_idx)}
         self.current_slots: Dict[str, Dict[tuple, Tuple[int, int]]] = {}
         self.constant_generators: List[ConstantGenerator] = []
