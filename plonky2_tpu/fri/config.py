@@ -24,6 +24,11 @@ class FriReductionStrategy:
         return FriReductionStrategy(kind="constant_arity", arity_bits=arity_bits,
                                     final_poly_bits=final_poly_bits)
 
+    @staticmethod
+    def MinSize(max_arity_bits: Optional[int] = None) -> "FriReductionStrategy":
+        return FriReductionStrategy(kind="min_size",
+                                    max_arity_bits=max_arity_bits)
+
     def reduction_arity_bits(self, degree_bits: int, rate_bits: int,
                              cap_height: int, num_queries: int) -> List[int]:
         if self.kind == "fixed":
@@ -36,7 +41,47 @@ class FriReductionStrategy:
                 assert db >= self.arity_bits
                 db -= self.arity_bits
             return result
+        if self.kind == "min_size":
+            return _min_size_arity_bits(degree_bits, rate_bits, num_queries,
+                                        self.max_arity_bits or 4)
         raise NotImplementedError(f"reduction strategy {self.kind}")
+
+
+def _relative_proof_size(degree_bits: int, rate_bits: int, num_queries: int,
+                         arity_bits: List[int]) -> int:
+    """Approximate FRI proof size in field elements
+    (reference reduction_strategies.rs:133-161)."""
+    D = 4
+    current = degree_bits + rate_bits
+    total = 0
+    for ab in arity_bits:
+        arity = 1 << ab
+        total += (arity - 1) * D * num_queries      # neighboring evals
+        total += current * 4 * num_queries          # Merkle siblings
+        current -= ab
+    assert current >= rate_bits
+    total += D * (1 << (current - rate_bits))       # final poly coeffs
+    return total
+
+
+def _min_size_arity_bits(degree_bits: int, rate_bits: int, num_queries: int,
+                         max_arity_bits: int,
+                         prefix: tuple = ()) -> List[int]:
+    """Exhaustive search for the size-optimal (monotone non-increasing)
+    arity sequence (reference reduction_strategies.rs:57-128)."""
+    current = degree_bits + rate_bits - sum(prefix)
+    assert current >= rate_bits
+    best = list(prefix)
+    best_size = _relative_proof_size(degree_bits, rate_bits, num_queries,
+                                     list(prefix))
+    cap = min(prefix[-1] if prefix else max_arity_bits, current - rate_bits)
+    for nxt in range(1, cap + 1):
+        cand = _min_size_arity_bits(degree_bits, rate_bits, num_queries,
+                                    max_arity_bits, prefix + (nxt,))
+        size = _relative_proof_size(degree_bits, rate_bits, num_queries, cand)
+        if size < best_size:
+            best, best_size = cand, size
+    return best
 
 
 @dataclass(frozen=True)

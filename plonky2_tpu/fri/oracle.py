@@ -26,6 +26,7 @@ from .config import FriParams
 from .proof import FriProof
 from .prover import coset_fft_ext, fri_proof
 from .structure import FriInstanceInfo
+from ..hash.hashers import POSEIDON_CONFIG
 
 SALT_SIZE = 4  # reference fri/oracle.rs:41
 
@@ -60,11 +61,13 @@ class PolynomialBatch:
     @staticmethod
     def from_values(values: np.ndarray, rate_bits: int, blinding: bool,
                     cap_height: int, use_device: bool | None = None,
-                    salt_rng: Optional[np.random.Generator] = None
-                    ) -> "PolynomialBatch":
+                    salt_rng: Optional[np.random.Generator] = None,
+                    hasher=POSEIDON_CONFIG) -> "PolynomialBatch":
         values = np.asarray(values, dtype=np.uint64)
         if use_device is None:
             use_device = _auto_device()
+        if not hasher.algebraic:
+            use_device = False  # byte hashes (Keccak) run host-side
         if use_device:
             from ..field import gf_jax as gf
             from ..ops.commit import commit_from_values
@@ -73,20 +76,22 @@ class PolynomialBatch:
             return PolynomialBatch._assemble(coeffs, gf.to_u64(l),
                                              [gf.to_u64(x) for x in lv],
                                              rate_bits, blinding, cap_height,
-                                             salt_rng)
+                                             salt_rng, hasher)
         coeffs = fnp.ifft(values)
         return PolynomialBatch.from_coeffs(coeffs, rate_bits, blinding,
                                            cap_height, use_device=False,
-                                           salt_rng=salt_rng)
+                                           salt_rng=salt_rng, hasher=hasher)
 
     @staticmethod
     def from_coeffs(polynomials: np.ndarray, rate_bits: int, blinding: bool,
                     cap_height: int, use_device: bool | None = None,
-                    salt_rng: Optional[np.random.Generator] = None
-                    ) -> "PolynomialBatch":
+                    salt_rng: Optional[np.random.Generator] = None,
+                    hasher=POSEIDON_CONFIG) -> "PolynomialBatch":
         polynomials = np.asarray(polynomials, dtype=np.uint64)
         if use_device is None:
             use_device = _auto_device()
+        if not hasher.algebraic:
+            use_device = False
         if use_device:
             from ..field import gf_jax as gf
             from ..ops.commit import commit_from_coeffs
@@ -95,16 +100,17 @@ class PolynomialBatch:
             return PolynomialBatch._assemble(polynomials, gf.to_u64(l),
                                              [gf.to_u64(x) for x in lv],
                                              rate_bits, blinding, cap_height,
-                                             salt_rng)
+                                             salt_rng, hasher)
         lde = fnp.coset_fft(fnp.lde(polynomials, rate_bits))  # (B, lde_size)
         lde_size = lde.shape[-1]
         leaves = lde.T[bit_reverse_indices(lde_size)].copy()
         return PolynomialBatch._assemble(polynomials, leaves, None, rate_bits,
-                                         blinding, cap_height, salt_rng)
+                                         blinding, cap_height, salt_rng,
+                                         hasher)
 
     @staticmethod
     def _assemble(polynomials, leaves, levels, rate_bits, blinding, cap_height,
-                  salt_rng):
+                  salt_rng, hasher=POSEIDON_CONFIG):
         degree = polynomials.shape[-1]
         if blinding:
             rng = salt_rng if salt_rng is not None else np.random.default_rng()
@@ -112,7 +118,7 @@ class PolynomialBatch:
                                 dtype=np.uint64)
             leaves = np.concatenate([leaves, salt], axis=1)
             levels = None  # salt invalidates device-computed digests
-        tree = mk.MerkleTree(leaves, cap_height, levels=levels)
+        tree = mk.MerkleTree(leaves, cap_height, levels=levels, hasher=hasher)
         return PolynomialBatch(polynomials, leaves, tree,
                                log2_strict(degree), rate_bits, blinding)
 
@@ -141,7 +147,8 @@ class PolynomialBatch:
 
     @staticmethod
     def prove_openings(instance: FriInstanceInfo, oracles: List["PolynomialBatch"],
-                       challenger: Challenger, fri_params: FriParams) -> FriProof:
+                       challenger: Challenger, fri_params: FriParams,
+                       hasher=POSEIDON_CONFIG) -> FriProof:
         """reference fri/oracle.rs:1047-1113."""
         alpha = challenger.get_extension_challenge()
         count = 0
@@ -172,7 +179,8 @@ class PolynomialBatch:
         lde_final_values = coset_fft_ext(lde_final_poly, gl.coset_shift())
 
         return fri_proof([o.merkle_tree for o in oracles], lde_final_poly,
-                         lde_final_values, challenger, fri_params)
+                         lde_final_values, challenger, fri_params,
+                         hasher=hasher)
 
 
 def _reduce_polys_base(polys: np.ndarray, alpha) -> np.ndarray:

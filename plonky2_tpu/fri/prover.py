@@ -21,6 +21,7 @@ from ..iop.challenger import Challenger
 from ..utils.bits import bit_reverse_indices
 from .config import FriParams
 from .proof import FriInitialTreeProof, FriProof, FriQueryRound, FriQueryStep
+from ..hash.hashers import POSEIDON_CONFIG
 
 
 def coset_fft_ext(coeffs: np.ndarray, shift: int) -> np.ndarray:
@@ -40,7 +41,8 @@ def _reduce_with_powers_ext(chunks: np.ndarray, beta) -> np.ndarray:
 
 
 def fri_committed_trees(coeffs: np.ndarray, values: np.ndarray,
-                        challenger: Challenger, fri_params: FriParams):
+                        challenger: Challenger, fri_params: FriParams,
+                        hasher=POSEIDON_CONFIG):
     """Returns (trees, final_coeffs).  coeffs/values: (n, 2) extension arrays."""
     trees: List[mk.MerkleTree] = []
     shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
@@ -51,7 +53,7 @@ def fri_committed_trees(coeffs: np.ndarray, values: np.ndarray,
         # bit-reverse rows, chunk into cosets, flatten ext pairs into leaves
         values = values[bit_reverse_indices(n)]
         leaves = values.reshape(n // arity, arity * 2)
-        tree = mk.MerkleTree(leaves, cap_height)
+        tree = mk.MerkleTree(leaves, cap_height, hasher=hasher)
         challenger.observe_cap(tree.cap)
         trees.append(tree)
 
@@ -70,13 +72,33 @@ def fri_committed_trees(coeffs: np.ndarray, values: np.ndarray,
     return trees, coeffs
 
 
-def fri_proof_of_work(challenger: Challenger, config) -> int:
+def fri_proof_of_work(challenger: Challenger, config,
+                      hasher=POSEIDON_CONFIG) -> int:
     """Deterministic grind: smallest witness w such that observing w yields a
     challenge with >= proof_of_work_bits leading zero bits (reference
     prover.rs:123-171; the reference uses find_any — any valid witness
     verifies, we pick the smallest for reproducibility)."""
     min_leading_zeros = config.proof_of_work_bits  # + (64 - 64)
     threshold = np.uint64(1) << np.uint64(64 - min_leading_zeros) if min_leading_zeros else None
+
+    if not hasher.algebraic:
+        # scalar grind through the hasher's challenger permutation
+        bound = 1 << (64 - min_leading_zeros)
+        base_state = [int(x) for x in challenger.sponge_state]
+        witness_pos = len(challenger.input_buffer)
+        for i, v in enumerate(challenger.input_buffer):
+            base_state[i] = v
+        witness = 0
+        while True:
+            state = list(base_state)
+            state[witness_pos] = witness
+            if hasher.permute(state)[pos.SPONGE_RATE - 1] < bound:
+                break
+            witness += 1
+        challenger.observe_element(witness)
+        response = challenger.get_challenge()
+        assert response < bound
+        return witness
 
     base_state = challenger.sponge_state.copy()
     witness_pos = len(challenger.input_buffer)
@@ -129,7 +151,7 @@ def fri_prover_query_rounds(initial_merkle_trees, trees, challenger: Challenger,
 
 def fri_proof(initial_merkle_trees, lde_polynomial_coeffs: np.ndarray,
               lde_polynomial_values: np.ndarray, challenger: Challenger,
-              fri_params: FriParams) -> FriProof:
+              fri_params: FriParams, hasher=POSEIDON_CONFIG) -> FriProof:
     """Top-level FRI proof (reference prover.rs:24-72).
 
     lde_polynomial_coeffs/values: (lde_size, 2) extension arrays.
@@ -138,8 +160,10 @@ def fri_proof(initial_merkle_trees, lde_polynomial_coeffs: np.ndarray,
     assert lde_polynomial_coeffs.shape[0] == n
 
     trees, final_coeffs = fri_committed_trees(
-        lde_polynomial_coeffs, lde_polynomial_values, challenger, fri_params)
-    pow_witness = fri_proof_of_work(challenger, fri_params.config)
+        lde_polynomial_coeffs, lde_polynomial_values, challenger, fri_params,
+        hasher=hasher)
+    pow_witness = fri_proof_of_work(challenger, fri_params.config,
+                                    hasher=hasher)
     query_round_proofs = fri_prover_query_rounds(
         initial_merkle_trees, trees, challenger, n, fri_params)
 

@@ -202,7 +202,12 @@ class FriRecursiveGadgets:
         start = self.exp_from_bits_const_base(
             g_inv, list(reversed(x_index_within_coset_bits)))
         coset_start = self.mul(start, x)
-        return self.interpolate_coset(arity_bits, coset_start, evals_ord, beta)
+        # HighDegreeInterpolationGate has degree = arity; fall back to the
+        # low-degree gate if the arity exceeds the quotient degree factor
+        # (reference recursive_verifier.rs:53-69)
+        high = arity <= self.config.max_quotient_degree_factor
+        return self.interpolate_coset(arity_bits, coset_start, evals_ord, beta,
+                                      high_degree=high)
 
     def _fri_verifier_query_round(self, instance, challenges, precomputed,
                                   initial_merkle_caps, proof, x_index: Target,

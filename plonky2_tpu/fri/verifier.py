@@ -17,6 +17,7 @@ from ..utils.bits import log2_strict, reverse_bits
 from .config import FriConfig, FriParams
 from .proof import FriChallenges, FriInitialTreeProof, FriProof
 from .structure import FriInstanceInfo, FriOpenings
+from ..hash.hashers import POSEIDON_CONFIG
 
 
 class FriVerificationError(Exception):
@@ -146,11 +147,13 @@ def _eval_final_poly(coeffs: np.ndarray, x: Ext) -> Ext:
 def fri_verifier_query_round(instance: FriInstanceInfo, challenges: FriChallenges,
                              precomputed: PrecomputedReducedOpenings,
                              initial_merkle_caps, proof: FriProof, x_index: int,
-                             n: int, round_proof, params: FriParams) -> None:
+                             n: int, round_proof, params: FriParams,
+                             hasher=POSEIDON_CONFIG) -> None:
     # initial tree proofs
     for (evals, merkle_proof), cap in zip(
             round_proof.initial_trees_proof.evals_proofs, initial_merkle_caps):
-        _ensure(mk.verify_merkle_proof_to_cap(evals, x_index, cap, merkle_proof),
+        _ensure(mk.verify_merkle_proof_to_cap(evals, x_index, cap, merkle_proof,
+                                              hasher=hasher),
                 "initial Merkle proof invalid")
 
     log_n = log2_strict(n)
@@ -173,7 +176,8 @@ def fri_verifier_query_round(instance: FriInstanceInfo, challenges: FriChallenge
                                       arity_bits, evals, challenges.fri_betas[i])
         _ensure(mk.verify_merkle_proof_to_cap(
             evals.reshape(-1), coset_index, proof.commit_phase_merkle_caps[i],
-            round_proof.steps[i].merkle_proof), f"commit-phase proof {i} invalid")
+            round_proof.steps[i].merkle_proof, hasher=hasher),
+            f"commit-phase proof {i} invalid")
         subgroup_x = pow(subgroup_x, arity, gl.P)
         x_index = coset_index
 
@@ -183,7 +187,8 @@ def fri_verifier_query_round(instance: FriInstanceInfo, challenges: FriChallenge
 
 def verify_fri_proof(instance: FriInstanceInfo, openings: FriOpenings,
                      challenges: FriChallenges, initial_merkle_caps,
-                     proof: FriProof, params: FriParams) -> None:
+                     proof: FriProof, params: FriParams,
+                     hasher=POSEIDON_CONFIG) -> None:
     n = params.lde_size()
     fri_verify_proof_of_work(challenges.fri_pow_response, params.config)
     _ensure(params.config.num_query_rounds == len(proof.query_round_proofs),
@@ -193,4 +198,4 @@ def verify_fri_proof(instance: FriInstanceInfo, openings: FriOpenings,
                                     proof.query_round_proofs):
         fri_verifier_query_round(instance, challenges, precomputed,
                                  initial_merkle_caps, proof, x_index, n,
-                                 round_proof, params)
+                                 round_proof, params, hasher=hasher)

@@ -234,13 +234,91 @@ class InterpolationGenerator(SimpleGenerator):
         out.append((("w", self.row, r.start + 1), acc[1]))
 
 
+class HighDegreeInterpolationGate(LowDegreeInterpolationGate):
+    """Variable-degree variant without helper power wires (reference
+    gates/high_degree_interpolation.rs): fewer wires/constraints, degree up to
+    num_points.  Used when the FRI arity fits the quotient degree factor."""
+
+    def id(self):
+        return (f"HighDegreeInterpolationGate {{ subgroup_bits: "
+                f"{self.subgroup_bits}, _phantom: PhantomData"
+                f"<plonky2_field::goldilocks_field::GoldilocksField> }}<D=2>")
+
+    def end(self) -> int:
+        return self.end_coeffs()
+
+    def eval_unfiltered(self, alg, vars):
+        n = self.num_points()
+        constraints = []
+        coeffs = [get_local_ext(vars, self.wires_coeff(i)) for i in range(n)]
+
+        shift = vars.local_wires[self.wire_shift()]
+        g = gl.primitive_root_of_unity(self.subgroup_bits)
+        gp = 1
+        for i in range(n):
+            point = alg.mul_const(shift, gp)  # shift * g^i, degree 1
+            value = get_local_ext(vars, self.wires_value(i))
+            computed = (alg.zero(), alg.zero())
+            for c in reversed(coeffs):
+                computed = ea_add(alg, ea_scalar_mul(alg, computed, point), c)
+            constraints.extend(ea_sub(alg, value, computed))
+            gp = gp * g % gl.P
+
+        eval_point = get_local_ext(vars, self.wires_evaluation_point())
+        eval_value = get_local_ext(vars, self.wires_evaluation_value())
+        computed = (alg.zero(), alg.zero())
+        for c in reversed(coeffs):
+            computed = ea_add(alg, ea_mul(alg, computed, eval_point), c)
+        constraints.extend(ea_sub(alg, eval_value, computed))
+        return constraints
+
+    def generators(self, row, local_constants):
+        return [HighDegreeInterpolationGenerator(row, self)]
+
+    def degree(self):
+        return self.num_points()
+
+    def num_constraints(self):
+        return self.num_points() * D + D
+
+
+class HighDegreeInterpolationGenerator(InterpolationGenerator):
+    def run_once(self, witness, out):
+        g = self.gate
+        w = lambda c: witness.get_target(("w", self.row, c))  # noqa: E731
+        wext = lambda r: (w(r.start), w(r.start + 1))  # noqa: E731
+
+        shift = w(g.wire_shift())
+        root = gl.primitive_root_of_unity(g.subgroup_bits)
+        points = []
+        x = shift
+        for i in range(g.num_points()):
+            points.append(((x, 0), wext(g.wires_value(i))))
+            x = x * root % gl.P
+        coeffs = interpolant(points)
+        for i, c in enumerate(coeffs):
+            r = g.wires_coeff(i)
+            out.append((("w", self.row, r.start), c[0]))
+            out.append((("w", self.row, r.start + 1), c[1]))
+
+        zeta = wext(g.wires_evaluation_point())
+        acc = (0, 0)
+        for c in reversed(coeffs):
+            acc = ge.s_add(ge.s_mul(acc, zeta), c)
+        r = g.wires_evaluation_value()
+        out.append((("w", self.row, r.start), acc[0]))
+        out.append((("w", self.row, r.start + 1), acc[1]))
+
+
 class InterpolationGadgets:
     """Mixed into CircuitBuilder (reference interpolation.rs:79-103)."""
 
     def interpolate_coset(self, subgroup_bits: int, coset_shift,
-                          values: list, evaluation_point) -> tuple:
+                          values: list, evaluation_point,
+                          high_degree: bool = False) -> tuple:
         from ..gadgets.extension import ext_from_range
-        gate = LowDegreeInterpolationGate(subgroup_bits)
+        gate = (HighDegreeInterpolationGate(subgroup_bits) if high_degree
+                else LowDegreeInterpolationGate(subgroup_bits))
         row = self.add_gate(gate, [])
         self.connect(coset_shift, ("w", row, gate.wire_shift()))
         for i, v in enumerate(values):

@@ -20,27 +20,24 @@ import numpy as np
 
 from ..utils.bits import log2_strict
 from . import poseidon as pos
+from .hashers import POSEIDON_CONFIG
 
 
-def hash_leaves_or_noop(leaves: np.ndarray) -> np.ndarray:
+def hash_leaves_or_noop(leaves: np.ndarray, hasher=POSEIDON_CONFIG) -> np.ndarray:
     """(N, L) -> (N, 4) digests; L <= 4 passes through zero-padded."""
-    N, L = leaves.shape
-    if L <= 4:
-        out = np.zeros((N, 4), dtype=np.uint64)
-        out[:, :L] = leaves
-        return out
-    return pos.hash_batch_no_pad(leaves)
+    return hasher.hash_leaves(leaves)
 
 
-def build_digest_levels(leaves: np.ndarray, cap_height: int) -> List[np.ndarray]:
+def build_digest_levels(leaves: np.ndarray, cap_height: int,
+                        hasher=POSEIDON_CONFIG) -> List[np.ndarray]:
     """levels[0] = leaf digests (N,4); levels[k] halves until 2^cap_height."""
     n = leaves.shape[0]
     bits = log2_strict(n)
     assert cap_height <= bits
-    levels = [hash_leaves_or_noop(leaves)]
+    levels = [hasher.hash_leaves(leaves)]
     while levels[-1].shape[0] > (1 << cap_height):
         cur = levels[-1]
-        levels.append(pos.compress_batch(cur[0::2], cur[1::2]))
+        levels.append(hasher.compress_batch(cur[0::2], cur[1::2]))
     return levels
 
 
@@ -63,12 +60,13 @@ class MerkleCap:
 
 class MerkleTree:
     def __init__(self, leaves: np.ndarray, cap_height: int,
-                 levels: List[np.ndarray] | None = None):
+                 levels: List[np.ndarray] | None = None,
+                 hasher=POSEIDON_CONFIG):
         """leaves: (N, L) uint64.  levels may be supplied (device-computed)."""
         self.leaves = np.asarray(leaves, dtype=np.uint64)
         self.cap_height = cap_height
         self.levels = levels if levels is not None else build_digest_levels(
-            self.leaves, cap_height)
+            self.leaves, cap_height, hasher)
         self.cap = MerkleCap(self.levels[-1])
 
     def get(self, i: int) -> np.ndarray:
@@ -86,28 +84,20 @@ class MerkleTree:
 
 
 def verify_merkle_proof_to_cap(leaf: np.ndarray, leaf_index: int,
-                               cap: MerkleCap, proof: MerkleProof) -> bool:
+                               cap: MerkleCap, proof: MerkleProof,
+                               hasher=POSEIDON_CONFIG) -> bool:
     """reference merkle_proofs.rs verify_merkle_proof_to_cap.
 
-    Scalar path runs on python ints (poseidon_ints) — ~10x faster than
-    per-node numpy for the verifier's 28 query rounds."""
+    Scalar path runs on python ints — ~10x faster than per-node numpy for
+    the verifier's 28 query rounds."""
     leaf = [int(x) for x in np.asarray(leaf, dtype=np.uint64).reshape(-1)]
-    if len(leaf) <= 4:
-        h = leaf + [0] * (4 - len(leaf))
-    else:
-        state = [0] * 12
-        for start in range(0, len(leaf), 8):
-            chunk = leaf[start:start + 8]
-            state = chunk + state[len(chunk):]
-            state = pos.poseidon_ints(state)
-        h = state[:4]
+    h = hasher.hash_or_noop_ints(leaf)
     idx = leaf_index
     for sib in proof.siblings:
         sib = [int(x) for x in sib]
         if idx & 1:
-            state = sib + h + [0, 0, 0, 0]
+            h = hasher.compress_ints(sib, h)
         else:
-            state = h + sib + [0, 0, 0, 0]
-        h = pos.poseidon_ints(state)[:4]
+            h = hasher.compress_ints(h, sib)
         idx >>= 1
     return [int(x) for x in cap.digests[idx]] == h

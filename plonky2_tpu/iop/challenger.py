@@ -14,10 +14,15 @@ from ..hash import poseidon as pos
 
 
 class Challenger:
-    def __init__(self):
+    def __init__(self, permutation=None):
+        """permutation: callable [12 ints] -> [12 ints]; defaults to
+        Poseidon.  KeccakGoldilocksConfig passes the hash-onion permutation
+        (reference Challenger<F, C::Hasher>)."""
         self.sponge_state = np.zeros(pos.WIDTH, dtype=np.uint64)
         self.input_buffer: List[int] = []
         self.output_buffer: List[int] = []
+        self.permutation = permutation if permutation is not None \
+            else pos.poseidon_ints
 
     def observe_element(self, element) -> None:
         self.output_buffer.clear()
@@ -72,7 +77,7 @@ class Challenger:
         for i, v in enumerate(self.input_buffer):
             state[i] = v
         self.input_buffer.clear()
-        state = pos.poseidon_ints(state)
+        state = self.permutation(state)
         self.sponge_state = np.array(state, dtype=np.uint64)
         self.output_buffer = list(state[:pos.SPONGE_RATE])
 

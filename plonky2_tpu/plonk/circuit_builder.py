@@ -15,9 +15,15 @@ from ..fri.oracle import PolynomialBatch
 from ..fri.recursive_verifier import FriRecursiveGadgets
 from ..gadgets.extension import ExtensionGadgets
 from ..gadgets.merkle import MerkleGadgets
+from ..ecdsa.gadgets import CurveGadgets
+from ..gadgets.biguint import BigUintGadgets
+from ..gadgets.nonnative import NonNativeGadgets
+from ..gadgets.permutation import PermutationGadgets
 from ..gadgets.split import SplitGadgets
+from ..gadgets.u32 import U32Gadgets
 from ..gates.basic import ArithmeticGate, ConstantGate, NoopGate, PublicInputGate
 from ..gates.gate import Gate, selector_polynomials
+from ..gates.insertion import InsertionGadgets
 from ..gates.interpolation import InterpolationGadgets
 from ..gates.poseidon_gate import (WIRE_SWAP, PoseidonGate, wire_input,
                                    wire_output)
@@ -30,7 +36,9 @@ from .circuit_data import (CircuitData, CommonCircuitData,
                            ProverOnlyCircuitData, VerifierOnlyCircuitData)
 from .config import CircuitConfig
 from .permutation import Forest
+from .recursion import ConditionalRecursionGadgets
 from .recursive_verifier import RecursionGadgets
+from .tree_recursion import TreeRecursionGadgets
 
 
 class GateInstance:
@@ -41,9 +49,12 @@ class GateInstance:
         self.constants = constants
 
 
-class CircuitBuilder(ExtensionGadgets, SplitGadgets, MerkleGadgets,
-                     InterpolationGadgets, FriRecursiveGadgets,
-                     RecursionGadgets):
+class CircuitBuilder(ExtensionGadgets, SplitGadgets, U32Gadgets,
+                     BigUintGadgets, NonNativeGadgets, CurveGadgets,
+                     MerkleGadgets, InterpolationGadgets, InsertionGadgets,
+                     PermutationGadgets, FriRecursiveGadgets,
+                     RecursionGadgets, ConditionalRecursionGadgets,
+                     TreeRecursionGadgets):
     def __init__(self, config: CircuitConfig):
         self.config = config
         self.gate_set: Dict[str, Gate] = {}
@@ -60,6 +71,9 @@ class CircuitBuilder(ExtensionGadgets, SplitGadgets, MerkleGadgets,
         self.current_slots: Dict[str, Dict[tuple, Tuple[int, int]]] = {}
         self.constant_generators: List[ConstantGenerator] = []
         self.domain_separator: Optional[List[int]] = None
+        # cyclic recursion state (reference circuit_builder.rs:107-111)
+        self.goal_common_data = None
+        self.verifier_data_public_input = None
 
     # ------------------------------------------------------------------
     # targets & wiring
@@ -82,6 +96,25 @@ class CircuitBuilder(ExtensionGadgets, SplitGadgets, MerkleGadgets,
     def register_public_inputs(self, ts) -> None:
         for t in ts:
             self.register_public_input(t)
+
+    def num_public_inputs(self) -> int:
+        return len(self.public_inputs)
+
+    def add_virtual_public_input(self) -> Target:
+        t = self.add_virtual_target()
+        self.register_public_input(t)
+        return t
+
+    def add_virtual_bool_target_safe(self) -> Target:
+        b = self.add_virtual_target()
+        self.assert_bool(b)
+        return b
+
+    def add_gate_to_gate_set(self, gate: Gate) -> None:
+        """Register a gate in the gate set without instancing it (used to
+        align a circuit's CommonCircuitData with a goal, reference
+        circuit_builder.rs:333)."""
+        self.gate_set.setdefault(gate.id(), gate)
 
     def add_gate(self, gate: Gate, constants: List[int]) -> int:
         assert gate.num_wires() <= self.config.num_wires, (
@@ -337,7 +370,11 @@ class CircuitBuilder(ExtensionGadgets, SplitGadgets, MerkleGadgets,
         sigma = forest.sigma_polys(k_is, subgroup)
         return sigma, forest
 
-    def build(self) -> CircuitData:
+    def build(self, gc=None) -> CircuitData:
+        """gc: hasher configuration (reference build::<C>'s GenericConfig);
+        defaults to PoseidonGoldilocksConfig."""
+        from ..hash.hashers import POSEIDON_CONFIG
+        gc = gc if gc is not None else POSEIDON_CONFIG
         config = self.config
         rate_bits = config.fri_config.rate_bits
         cap_height = config.fri_config.cap_height
@@ -362,6 +399,16 @@ class CircuitBuilder(ExtensionGadgets, SplitGadgets, MerkleGadgets,
             cg.constant = c
             self.generators.append(cg)
 
+        # cyclic recursion: pad up to the goal degree so the built circuit's
+        # CommonCircuitData matches the self-referential goal exactly
+        if self.goal_common_data is not None:
+            goal_degree = self.goal_common_data.degree()
+            assert self.num_gates() <= goal_degree, (
+                f"circuit has {self.num_gates()} gates, more than the cyclic "
+                f"goal degree {goal_degree}")
+            while self.num_gates() < goal_degree:
+                self.add_gate(NoopGate(), [])
+
         self._blind_and_pad()
         degree = len(self.gate_instances)
         degree_bits = log2_strict(degree)
@@ -385,7 +432,7 @@ class CircuitBuilder(ExtensionGadgets, SplitGadgets, MerkleGadgets,
 
         constants_sigmas = np.concatenate([constant_vecs, sigma_vecs], axis=0)
         constants_sigmas_commitment = PolynomialBatch.from_values(
-            constants_sigmas, rate_bits, False, cap_height)
+            constants_sigmas, rate_bits, False, cap_height, hasher=gc)
 
         # drop unused generators of partially-filled slot gates
         incomplete = {}
@@ -415,11 +462,11 @@ class CircuitBuilder(ExtensionGadgets, SplitGadgets, MerkleGadgets,
 
         cap = constants_sigmas_commitment.merkle_tree.cap
         domain_separator = self.domain_separator or []
-        ds_digest = _hash_pad(domain_separator)
+        ds_digest = gc.hash_pad_elements(domain_separator)
         digest_input = np.concatenate([
             cap.flatten(), ds_digest,
             np.array([degree_bits], dtype=np.uint64)])
-        circuit_digest = pos.hash_no_pad(digest_input)
+        circuit_digest = gc.hash_no_pad_elements(digest_input)
 
         common = CommonCircuitData(
             config=config, fri_params=fri_params, gates=gates,
@@ -428,7 +475,13 @@ class CircuitBuilder(ExtensionGadgets, SplitGadgets, MerkleGadgets,
             num_gate_constraints=num_gate_constraints,
             num_constants=num_constants,
             num_public_inputs=num_public_inputs,
-            k_is=k_is, num_partial_products=num_partial_products)
+            k_is=k_is, num_partial_products=num_partial_products,
+            hasher_name=gc.name)
+
+        if self.goal_common_data is not None:
+            assert self.goal_common_data == common, (
+                "The expected circuit data passed to cyclic recursion did "
+                "not match the actual circuit")
 
         prover_only = ProverOnlyCircuitData(
             generators=self.generators,
@@ -446,11 +499,3 @@ class CircuitBuilder(ExtensionGadgets, SplitGadgets, MerkleGadgets,
         return CircuitData(prover_only=prover_only, verifier_only=verifier_only,
                            common=common)
 
-
-def _hash_pad(inputs: List[int]) -> np.ndarray:
-    """pad10*1 then hash (reference config.rs:44-51)."""
-    padded = list(inputs) + [1]
-    while (len(padded) + 1) % 12 != 0:
-        padded.append(0)
-    padded.append(1)
-    return pos.hash_no_pad(np.array(padded, dtype=np.uint64))

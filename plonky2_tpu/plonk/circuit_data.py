@@ -32,6 +32,12 @@ class CommonCircuitData:
     num_public_inputs: int
     k_is: List[int]
     num_partial_products: int
+    hasher_name: str = "PoseidonGoldilocksConfig"
+
+    def hasher(self):
+        from ..hash.hashers import KECCAK_CONFIG, POSEIDON_CONFIG
+        return (KECCAK_CONFIG if self.hasher_name == KECCAK_CONFIG.name
+                else POSEIDON_CONFIG)
 
     def degree_bits(self) -> int:
         return self.fri_params.degree_bits

@@ -38,6 +38,7 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
     rate_bits = config.fri_config.rate_bits
     cap_height = config.fri_config.cap_height
     zk = config.zero_knowledge
+    gc = common_data.hasher()
 
     with timing.scope("run generators"):
         partition_witness = generate_partial_witness(inputs, prover_data,
@@ -49,9 +50,10 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
 
     with timing.scope("compute wires commitment"):
         wires_commitment = PolynomialBatch.from_values(
-            witness, rate_bits, zk, cap_height, use_device=use_device)
+            witness, rate_bits, zk, cap_height, use_device=use_device,
+            hasher=gc)
 
-    challenger = Challenger()
+    challenger = Challenger(permutation=gc.permute)
     challenger.observe_hash(prover_data.circuit_digest)
     challenger.observe_hash(public_inputs_hash)
     challenger.observe_cap(wires_commitment.merkle_tree.cap)
@@ -67,7 +69,7 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
     with timing.scope("commit to partial products and Z's"):
         zs_partial_products_commitment = PolynomialBatch.from_values(
             zs_partial_products, rate_bits, zk, cap_height,
-            use_device=use_device)
+            use_device=use_device, hasher=gc)
     challenger.observe_cap(zs_partial_products_commitment.merkle_tree.cap)
 
     alphas = challenger.get_n_challenges(num_challenges)
@@ -82,7 +84,8 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
 
     with timing.scope("commit to quotient polys"):
         quotient_polys_commitment = PolynomialBatch.from_coeffs(
-            chunks, rate_bits, zk, cap_height, use_device=use_device)
+            chunks, rate_bits, zk, cap_height, use_device=use_device,
+            hasher=gc)
     challenger.observe_cap(quotient_polys_commitment.merkle_tree.cap)
 
     zeta = challenger.get_extension_challenge()
@@ -103,7 +106,7 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
             common_data.get_fri_instance(zeta),
             [prover_data.constants_sigmas_commitment, wires_commitment,
              zs_partial_products_commitment, quotient_polys_commitment],
-            challenger, common_data.fri_params)
+            challenger, common_data.fri_params, hasher=gc)
 
     return ProofWithPublicInputs(
         proof=Proof(

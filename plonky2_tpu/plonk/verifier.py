@@ -71,4 +71,5 @@ def verify_with_challenges(proof, public_inputs_hash, challenges,
     verify_fri_proof(common_data.get_fri_instance(zeta),
                      proof.openings.to_fri_openings(),
                      challenges.fri_challenges, merkle_caps,
-                     proof.opening_proof, common_data.fri_params)
+                     proof.opening_proof, common_data.fri_params,
+                     hasher=common_data.hasher())

@@ -129,8 +129,9 @@ def test_reducing_factor_matches_native():
     prove_and_verify(b, pw)
 
 
-@pytest.mark.parametrize("subgroup_bits", [2, 4])
-def test_interpolation_gate_matches_lagrange(subgroup_bits):
+@pytest.mark.parametrize("subgroup_bits,high_degree",
+                         [(2, False), (4, False), (2, True)])
+def test_interpolation_gate_matches_lagrange(subgroup_bits, high_degree):
     config = CircuitConfig.standard_recursion_config()
     b = CircuitBuilder(config)
     pw = PartialWitness()
@@ -159,6 +160,7 @@ def test_interpolation_gate_matches_lagrange(subgroup_bits):
 
     out = b.interpolate_coset(subgroup_bits, b.constant(shift),
                               [b.constant_extension(v) for v in values],
-                              b.constant_extension(zeta))
+                              b.constant_extension(zeta),
+                              high_degree=high_degree)
     b.connect_extension(out, b.constant_extension(expect))
     prove_and_verify(b, pw)
