@@ -107,22 +107,25 @@ def frobenius(a):
 # scalar (python tuple) helpers
 # ---------------------------------------------------------------------------
 
+# int() coercion guards against numpy scalars sneaking in: uint64 products
+# would silently wrap instead of doing arbitrary-precision arithmetic.
+
 def s_mul(a, b):
-    a0, a1 = a
-    b0, b1 = b
+    a0, a1 = int(a[0]), int(a[1])
+    b0, b1 = int(b[0]), int(b[1])
     return ((a0 * b0 + W * a1 * b1) % gl.P, (a0 * b1 + a1 * b0) % gl.P)
 
 
 def s_add(a, b):
-    return ((a[0] + b[0]) % gl.P, (a[1] + b[1]) % gl.P)
+    return ((int(a[0]) + int(b[0])) % gl.P, (int(a[1]) + int(b[1])) % gl.P)
 
 
 def s_sub(a, b):
-    return ((a[0] - b[0]) % gl.P, (a[1] - b[1]) % gl.P)
+    return ((int(a[0]) - int(b[0])) % gl.P, (int(a[1]) - int(b[1])) % gl.P)
 
 
 def s_inv(a):
-    a0, a1 = a
+    a0, a1 = int(a[0]), int(a[1])
     denom = (a0 * a0 - W * a1 * a1) % gl.P
     dinv = pow(denom, gl.P - 2, gl.P)
     return ((a0 * dinv) % gl.P, (-a1 * dinv) % gl.P)

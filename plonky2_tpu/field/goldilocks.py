@@ -174,6 +174,19 @@ def modsum(a: np.ndarray, axis=-1) -> np.ndarray:
     return reduce128(low, high)
 
 
+def prefix_prod_inclusive(a: np.ndarray) -> np.ndarray:
+    """out[i] = prod_{j<=i} a[j], via log-doubling vectorized muls."""
+    x = np.asarray(a, dtype=_U64).copy()
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        y = x.copy()
+        y[shift:] = mul(x[shift:], x[:-shift])
+        x = y
+        shift <<= 1
+    return x
+
+
 def prefix_prod_exclusive(a: np.ndarray) -> np.ndarray:
     """out[i] = prod_{j<i} a[j] (out[0]=1), via log-doubling vectorized muls."""
     a = np.asarray(a, dtype=_U64)
