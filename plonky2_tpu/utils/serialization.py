@@ -180,10 +180,116 @@ class Buffer:
         return ProofWithPublicInputs(proof, pis)
 
 
+    # -- compressed proofs (reference serialization.rs:352-470, 694-760) ----
+
+    def write_compressed_fri_proof(self, fp) -> None:
+        for cap in fp.commit_phase_merkle_caps:
+            self.write_merkle_cap(cap)
+        qrp = fp.query_round_proofs
+        for i in qrp.indices:
+            self.write_u32(i)
+        for idx in sorted(qrp.initial_trees_proofs):
+            itp = qrp.initial_trees_proofs[idx]
+            for v, p in itp.evals_proofs:
+                self.write_field_vec(v)
+                self.write_merkle_proof(p)
+        for step_map in qrp.steps:
+            for idx in sorted(step_map):
+                step = step_map[idx]
+                self.write_field_ext_vec(step.evals)
+                self.write_merkle_proof(step.merkle_proof)
+        self.write_field_ext_vec(fp.final_poly)
+        self.write_field(fp.pow_witness)
+
+    def write_compressed_proof_with_public_inputs(self, cpwp) -> None:
+        p = cpwp.proof
+        self.write_merkle_cap(p.wires_cap)
+        self.write_merkle_cap(p.plonk_zs_partial_products_cap)
+        self.write_merkle_cap(p.quotient_polys_cap)
+        self.write_opening_set(p.openings)
+        self.write_compressed_fri_proof(p.opening_proof)
+        self.write_field_vec(np.array(cpwp.public_inputs, dtype=np.uint64))
+
+    def read_compressed_fri_proof(self, common):
+        from ..plonk.compression import (CompressedFriProof,
+                                         CompressedFriQueryRounds)
+        params = common.fri_params
+        cfg = params.config
+        caps = [self.read_merkle_cap(cfg.cap_height)
+                for _ in params.reduction_arity_bits]
+
+        indices = [self.read_u32() for _ in range(cfg.num_query_rounds)]
+        salt = 4 if params.hiding else 0
+        num_leaves_per_oracle = [
+            common.num_preprocessed_polys(),
+            common.config.num_wires + salt,
+            common.num_zs_partial_products_polys() + salt,
+            common.num_quotient_polys() + salt,
+        ]
+        initial_trees_proofs = {}
+        for idx in sorted(set(indices)):
+            evals_proofs = []
+            for n_polys in num_leaves_per_oracle:
+                v = self.read_field_vec(n_polys)
+                p = self.read_merkle_proof()
+                evals_proofs.append((v, p))
+            initial_trees_proofs[idx] = FriInitialTreeProof(evals_proofs)
+
+        steps = []
+        cur_indices = list(indices)
+        for arity_bits in params.reduction_arity_bits:
+            cur_indices = [i >> arity_bits for i in cur_indices]
+            step_map = {}
+            for idx in sorted(set(cur_indices)):
+                evals = self.read_field_ext_vec((1 << arity_bits) - 1)
+                step_map[idx] = FriQueryStep(evals, self.read_merkle_proof())
+            steps.append(step_map)
+
+        final_poly = self.read_field_ext_vec(params.final_poly_len())
+        pow_witness = self.read_field()
+        return CompressedFriProof(
+            commit_phase_merkle_caps=caps,
+            query_round_proofs=CompressedFriQueryRounds(
+                indices=indices, initial_trees_proofs=initial_trees_proofs,
+                steps=steps),
+            final_poly=final_poly, pow_witness=pow_witness)
+
+    def read_compressed_proof_with_public_inputs(self, common):
+        from ..plonk.compression import (CompressedProof,
+                                         CompressedProofWithPublicInputs)
+        cap_height = common.config.fri_config.cap_height
+        proof = CompressedProof(
+            wires_cap=self.read_merkle_cap(cap_height),
+            plonk_zs_partial_products_cap=self.read_merkle_cap(cap_height),
+            quotient_polys_cap=self.read_merkle_cap(cap_height),
+            openings=self.read_opening_set(common),
+            opening_proof=self.read_compressed_fri_proof(common))
+        pis = [int(x) for x in self.read_field_vec(common.num_public_inputs)]
+        return CompressedProofWithPublicInputs(proof, pis)
+
+    def read_u32(self) -> int:
+        v = struct.unpack_from("<I", self.data, self.pos)[0]
+        self.pos += 4
+        return v
+
+
 def serialize_proof(pwp: ProofWithPublicInputs) -> bytes:
     buf = Buffer()
     buf.write_proof_with_public_inputs(pwp)
     return buf.bytes()
+
+
+def serialize_compressed_proof(cpwp) -> bytes:
+    buf = Buffer()
+    buf.write_compressed_proof_with_public_inputs(cpwp)
+    return buf.bytes()
+
+
+def deserialize_compressed_proof(data: bytes, common):
+    buf = Buffer(data)
+    out = buf.read_compressed_proof_with_public_inputs(common)
+    assert buf.pos == len(buf.data), "trailing bytes in compressed proof"
+    return out
 
 
 def deserialize_proof(data: bytes, common) -> ProofWithPublicInputs:

@@ -8,7 +8,9 @@ from plonky2_tpu.hash.path_compression import (compress_merkle_proofs,
 from plonky2_tpu.models.fibonacci import build_fibonacci_circuit
 from plonky2_tpu.plonk.compression import (compress_proof, decompress_proof,
                                            verify_compressed_proof)
-from plonky2_tpu.utils.serialization import serialize_proof
+from plonky2_tpu.utils.serialization import (deserialize_compressed_proof,
+                                             serialize_compressed_proof,
+                                             serialize_proof)
 
 
 def test_merkle_path_compression_roundtrip():
@@ -47,3 +49,10 @@ def test_proof_compression_roundtrip():
                                 data.common)
     assert serialize_proof(restored) == original_bytes
     data.verify(restored)
+
+    # compressed byte roundtrip, and it must actually be smaller
+    cbytes = serialize_compressed_proof(compressed)
+    assert len(cbytes) < len(original_bytes)
+    c2 = deserialize_compressed_proof(cbytes, data.common)
+    assert serialize_compressed_proof(c2) == cbytes
+    verify_compressed_proof(c2, data.verifier_only, data.common)
