@@ -1,0 +1,138 @@
+"""AllStark: the four real tables {keccak-f, keccak-sponge, logic, memory}
+wired together with cross-table lookups, plus consistent multi-table witness
+generation from a list of sponge operations
+(reference evm/src/all_stark.rs:24-160 — note the reference ships with its
+CTLs disabled, all_stark.rs:92-106; here they are live and verified).
+
+CTL wiring (all_stark.rs:108-160):
+- ctl_keccak:  sponge rows look up (preimage, output) in the keccak-f table
+- ctl_logic:   each sponge row performs 5 32-byte XOR lookups in the logic
+  table (the reference passes ``ctl_looking_memory_filter(i)`` here, which
+  is a filter for byte *i*, not chunk *i*; we use the op-row filter so all
+  five chunks are looked up on every absorb row, and generate logic rows to
+  match)
+- ctl_memory:  one lookup per input byte read from memory
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from . import keccak_sponge as sponge_mod
+from . import keccak_stark as keccak_mod
+from . import logic as logic_mod
+from . import memory as memory_mod
+from .cross_table_lookup import CrossTableLookup, TableWithColumns
+from .keccak_sponge import (KECCAK_RATE_BYTES, KECCAK_RATE_U32S,
+                            KeccakSpongeOp, KeccakSpongeStark)
+from .keccak_stark import KeccakStark
+from .logic import LogicStark, Operation as LogicOp
+from .memory import MemoryOp, MemoryStark
+from .prover import AllStark
+
+KECCAK = 0
+KECCAK_SPONGE = 1
+LOGIC = 2
+MEMORY = 3
+
+
+def ctl_keccak() -> CrossTableLookup:
+    """(reference all_stark.rs:108-120)."""
+    looking = TableWithColumns(
+        table=KECCAK_SPONGE, columns=sponge_mod.ctl_looking_keccak(),
+        filter_column=sponge_mod.ctl_looking_keccak_filter())
+    looked = TableWithColumns(
+        table=KECCAK, columns=keccak_mod.ctl_data(),
+        filter_column=keccak_mod.ctl_filter())
+    return CrossTableLookup(looking_tables=[looking], looked_table=looked)
+
+
+def ctl_logic() -> CrossTableLookup:
+    """(reference all_stark.rs:136-154; filter deviation in module doc)."""
+    lookers = [
+        TableWithColumns(table=KECCAK_SPONGE,
+                         columns=sponge_mod.ctl_looking_logic(i),
+                         filter_column=sponge_mod.ctl_looking_logic_filter())
+        for i in range(sponge_mod.num_logic_ctls())]
+    looked = TableWithColumns(table=LOGIC, columns=logic_mod.ctl_data(),
+                              filter_column=logic_mod.ctl_filter())
+    return CrossTableLookup(looking_tables=lookers, looked_table=looked)
+
+
+def ctl_memory() -> CrossTableLookup:
+    """(reference all_stark.rs:156-177, minus the CPU channels)."""
+    lookers = [
+        TableWithColumns(table=KECCAK_SPONGE,
+                         columns=sponge_mod.ctl_looking_memory(i),
+                         filter_column=sponge_mod.ctl_looking_memory_filter(i))
+        for i in range(KECCAK_RATE_BYTES)]
+    looked = TableWithColumns(table=MEMORY, columns=memory_mod.ctl_data(),
+                              filter_column=memory_mod.ctl_filter())
+    return CrossTableLookup(looking_tables=lookers, looked_table=looked)
+
+
+def all_cross_table_lookups() -> List[CrossTableLookup]:
+    return [ctl_keccak(), ctl_logic(), ctl_memory()]
+
+
+def make_all_stark() -> AllStark:
+    return AllStark(
+        starks=[KeccakStark(), KeccakSpongeStark(), LogicStark(),
+                MemoryStark()],
+        cross_table_lookups=all_cross_table_lookups())
+
+
+def generate_all_traces(ops: List[KeccakSpongeOp],
+                        min_rows: int = 8) -> List[np.ndarray]:
+    """Consistent witness generation across the four tables from sponge
+    operations (the role of reference generation/ for this table subset)."""
+    sponge = KeccakSpongeStark()
+    sponge_trace = sponge.generate_trace(ops, min_rows=min_rows)
+
+    keccak_inputs: List[List[int]] = []
+    logic_ops: List[LogicOp] = []
+    memory_ops: List[MemoryOp] = []
+
+    n = sponge_trace.shape[1]
+    for j in range(n):
+        is_full = int(sponge_trace[sponge_mod.IS_FULL_INPUT_BLOCK, j])
+        is_final = int(sponge_trace[sponge_mod.IS_FINAL_BLOCK, j])
+        if not (is_full or is_final):
+            continue
+        xored = [int(sponge_trace[c, j]) for c in sponge_mod.XORED_RATE_U32S]
+        capacity = [int(sponge_trace[c, j])
+                    for c in sponge_mod.ORIGINAL_CAPACITY_U32S]
+        state_u32s = xored + capacity
+        keccak_inputs.append([state_u32s[2 * i] | (state_u32s[2 * i + 1] << 32)
+                              for i in range(25)])
+
+        orig_rate = [int(sponge_trace[c, j])
+                     for c in sponge_mod.ORIGINAL_RATE_U32S]
+        block = bytes(int(sponge_trace[c, j]) for c in sponge_mod.BLOCK_BYTES)
+        for i in range(sponge_mod.num_logic_ctls()):
+            rate_chunk = orig_rate[8 * i:8 * i + 8]
+            in0 = sum(v << (32 * k) for k, v in enumerate(rate_chunk))
+            in1 = int.from_bytes(block[32 * i:32 * i + 32], "little")
+            logic_ops.append(LogicOp("xor", in0, in1))
+
+        ctx = int(sponge_trace[sponge_mod.CONTEXT, j])
+        seg = int(sponge_trace[sponge_mod.SEGMENT, j])
+        virt = int(sponge_trace[sponge_mod.VIRT, j])
+        ts = int(sponge_trace[sponge_mod.TIMESTAMP, j])
+        absorbed = int(sponge_trace[sponge_mod.ALREADY_ABSORBED_BYTES, j])
+        if is_full:
+            n_bytes = KECCAK_RATE_BYTES
+        else:
+            n_bytes = int(sponge_trace[sponge_mod.LEN, j]) - absorbed
+        for i in range(n_bytes):
+            memory_ops.append(MemoryOp(
+                filter=True, timestamp=ts, is_read=True, context=ctx,
+                segment=seg, virt=virt + absorbed + i,
+                value=block[i]))
+
+    keccak_trace = KeccakStark().generate_trace(keccak_inputs,
+                                                min_rows=min_rows)
+    logic_trace = LogicStark().generate_trace(logic_ops, min_rows=min_rows)
+    memory_trace = MemoryStark().generate_trace(memory_ops)
+    return [keccak_trace, sponge_trace, logic_trace, memory_trace]

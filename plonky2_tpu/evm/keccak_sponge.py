@@ -63,8 +63,11 @@ def ctl_looked_filter() -> Column:
 
 
 def ctl_looking_keccak() -> List[Column]:
-    """Row sent to the keccak-f table: full before/after state."""
-    return Column.singles(list(ORIGINAL_RATE_U32S)
+    """Row sent to the keccak-f table: permutation input and output.  The
+    permutation's input rate is the POST-xor rate; the reference sends
+    original_rate_u32s here (keccak_sponge_stark.rs:40-51), which can never
+    match the keccak table (another artifact of its disabled CTLs)."""
+    return Column.singles(list(XORED_RATE_U32S)
                           + list(ORIGINAL_CAPACITY_U32S)
                           + list(UPDATED_STATE_U32S))
 
@@ -86,9 +89,13 @@ def ctl_looking_memory(i: int) -> List[Column]:
 
 
 def ctl_looking_memory_filter(i: int) -> Column:
-    """Byte i is read on full blocks, or final blocks of length > i."""
+    """Byte i is read on full blocks, or final blocks of length > i.
+    A final block of length L reads bytes 0..L-1, so byte i needs
+    is_final_input_len[i+1..]; the reference's [i..] slice
+    (keccak_sponge_stark.rs:135-142) also fires on the first padding
+    byte."""
     return Column.sum_cols([IS_FULL_INPUT_BLOCK]
-                           + list(IS_FINAL_INPUT_LEN)[i:])
+                           + list(IS_FINAL_INPUT_LEN)[i + 1:])
 
 
 U32S_PER_CTL = 8

@@ -91,13 +91,30 @@ def reg_a_prime_prime_prime(x: int, y: int) -> int:
     return reg_a_prime_prime(x, y)
 
 
-NUM_COLUMNS = REG_A_PRIME_PRIME_PRIME_0_0_HI + 1
+# Copies of the original permutation input, carried across all 24 rows of
+# a cycle so the CTL can read (input, output) from one filtered row.  The
+# reference instead reads reg_a on the last-round row (columns.rs:15-26),
+# which by then holds the round-23 intermediate state, not the preimage —
+# one of the reasons its CTLs ship disabled (all_stark.rs:92-106).
+PREIMAGE_START = REG_A_PRIME_PRIME_PRIME_0_0_HI + 1
+
+
+def reg_preimage(x: int, y: int) -> int:
+    return PREIMAGE_START + (x * 5 + y) * 2
+
+
+# 1 on the last-round row of a REAL (non-padding) permutation cycle: the CTL
+# filter. The reference filters on reg_step(23) alone with a TODO about
+# padding rows (keccak_stark.rs:40-43); this column closes that hole.
+REG_FILTER = PREIMAGE_START + 2 * 25
+
+NUM_COLUMNS = REG_FILTER + 1
 
 
 def reg_input_limb_col(i: int) -> Column:
     i_u64 = i // 2
     y, x = divmod(i_u64, 5)
-    return Column.single(reg_a(x, y) + (i % 2))
+    return Column.single(reg_preimage(x, y) + (i % 2))
 
 
 def reg_output_limb(i: int) -> int:
@@ -113,7 +130,7 @@ def ctl_data() -> List[Column]:
 
 
 def ctl_filter() -> Column:
-    return Column.single(reg_step(NUM_ROUNDS - 1))
+    return Column.single(REG_FILTER)
 
 
 def _xor_gen(alg, x, y):
@@ -137,20 +154,25 @@ class KeccakStark(Stark):
         num_rows = 1 << (num_rows - 1).bit_length()
         rows: List[List[int]] = []
         for state in inputs:
-            rows.extend(self._rows_for_perm(state))
-        pad = self._rows_for_perm([0] * NUM_INPUTS)
+            rows.extend(self._rows_for_perm(state, is_real=True))
+        pad = self._rows_for_perm([0] * NUM_INPUTS, is_real=False)
         while len(rows) < num_rows:
             rows.extend(pad)
         del rows[num_rows:]
         return np.array(rows, dtype=np.uint64).T.copy()
 
-    def _rows_for_perm(self, state: List[int]) -> List[List[int]]:
+    def _rows_for_perm(self, state: List[int],
+                       is_real: bool = True) -> List[List[int]]:
         rows = [[0] * NUM_COLUMNS for _ in range(NUM_ROUNDS)]
+        rows[NUM_ROUNDS - 1][REG_FILTER] = int(is_real)
         for x in range(5):
             for y in range(5):
                 lane = state[y * 5 + x]
                 rows[0][reg_a(x, y)] = lane & 0xFFFFFFFF
                 rows[0][reg_a(x, y) + 1] = lane >> 32
+                for r in range(NUM_ROUNDS):
+                    rows[r][reg_preimage(x, y)] = lane & 0xFFFFFFFF
+                    rows[r][reg_preimage(x, y) + 1] = lane >> 32
         self._row_for_round(rows[0], 0)
         for r in range(1, NUM_ROUNDS):
             for x in range(5):
@@ -308,8 +330,32 @@ class KeccakStark(Stark):
         yield_constr.constraint(
             alg.sub(hi, lv[REG_A_PRIME_PRIME_PRIME_0_0_HI]))
 
+        # preimage columns hold the original input: they match reg_a on the
+        # first round of a cycle and copy forward within the cycle
+        for x in range(5):
+            for y in range(5):
+                for off in (0, 1):
+                    yield_constr.constraint(alg.mul(
+                        lv[reg_step(0)],
+                        alg.sub(lv[reg_preimage(x, y) + off],
+                                lv[reg_a(x, y) + off])))
+
         # this round's output is the next round's input (except last round)
         not_last = alg.sub(one, lv[reg_step(NUM_ROUNDS - 1)])
+        for x in range(5):
+            for y in range(5):
+                for off in (0, 1):
+                    yield_constr.constraint_transition(alg.mul(
+                        not_last,
+                        alg.sub(nv[reg_preimage(x, y) + off],
+                                lv[reg_preimage(x, y) + off])))
+
+        # the CTL filter is boolean and may only fire on last-round rows
+        yield_constr.constraint(
+            alg.mul(lv[REG_FILTER], alg.sub(lv[REG_FILTER], one)))
+        yield_constr.constraint(alg.mul(
+            lv[REG_FILTER],
+            alg.sub(one, lv[reg_step(NUM_ROUNDS - 1)])))
         for x in range(5):
             for y in range(5):
                 out_lo = lv[reg_a_prime_prime_prime(x, y)]

@@ -127,6 +127,14 @@ class MemoryStark(Stark):
             assert 0 <= rc < n, f"range check {rc} too large; bug in fill_gaps?"
             trace[RANGE_CHECK, j] = rc
 
+        # The read-consistency constraint is a full-row constraint, so it
+        # also binds the wrap-around (last row -> first row). Mark the last
+        # row as a context change so address_unchanged is 0 there; otherwise
+        # a trace whose first sorted op is a read would be rejected (latent
+        # in the reference too, memory_stark.rs:315, masked by its traces
+        # always starting with bootstrap writes).
+        trace[CONTEXT_FIRST_CHANGE, n - 1] = 1
+
         trace[COUNTER] = np.arange(n, dtype=np.uint64)
         pi, pt = permuted_cols(trace[RANGE_CHECK], trace[COUNTER])
         trace[RANGE_CHECK_PERMUTED] = pi
