@@ -1,0 +1,35 @@
+"""Constants available to kernel assembly via `@NAME`
+(reference evm/src/cpu/kernel/constants/mod.rs evm_constants)."""
+from __future__ import annotations
+
+from typing import Dict
+
+from ..memory import Segment
+
+# secp256k1 + bn254 curve constants (reference constants/mod.rs EC_CONSTANTS)
+EC_CONSTANTS = {
+    "U256_MAX": (1 << 256) - 1,
+    "SECP_BASE":
+        0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F,
+    "SECP_SCALAR":
+        0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141,
+    "BN_BASE":
+        0x30644E72E131A029B85045B68181585D97816A916871CA8D3C208C16D87CFD47,
+}
+
+# intrinsic gas etc. (reference constants/mod.rs GAS_CONSTANTS)
+GAS_CONSTANTS = {
+    "GAS_TX": 21_000,
+    "GAS_TXDATAZERO": 4,
+    "GAS_TXDATANONZERO": 16,
+    "GAS_TXCREATE": 32_000,
+}
+
+
+def evm_constants() -> Dict[str, int]:
+    c: Dict[str, int] = {}
+    c.update(EC_CONSTANTS)
+    c.update(GAS_CONSTANTS)
+    for seg in Segment:
+        c[f"SEGMENT_{seg.name.upper()}"] = int(seg)
+    return c
