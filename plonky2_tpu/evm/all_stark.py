@@ -36,44 +36,86 @@ KECCAK_SPONGE = 1
 LOGIC = 2
 MEMORY = 3
 
+# 5-table layout with the CPU, matching the reference Table enum order
+# (reference all_stark.rs:33-47)
+CPU_TABLES = {"cpu": 0, "keccak": 1, "keccak_sponge": 2, "logic": 3,
+              "memory": 4}
+_DEFAULT_TABLES = {"keccak": KECCAK, "keccak_sponge": KECCAK_SPONGE,
+                   "logic": LOGIC, "memory": MEMORY}
 
-def ctl_keccak() -> CrossTableLookup:
+
+def ctl_keccak(t=_DEFAULT_TABLES) -> CrossTableLookup:
     """(reference all_stark.rs:108-120)."""
     looking = TableWithColumns(
-        table=KECCAK_SPONGE, columns=sponge_mod.ctl_looking_keccak(),
+        table=t["keccak_sponge"], columns=sponge_mod.ctl_looking_keccak(),
         filter_column=sponge_mod.ctl_looking_keccak_filter())
     looked = TableWithColumns(
-        table=KECCAK, columns=keccak_mod.ctl_data(),
+        table=t["keccak"], columns=keccak_mod.ctl_data(),
         filter_column=keccak_mod.ctl_filter())
     return CrossTableLookup(looking_tables=[looking], looked_table=looked)
 
 
-def ctl_logic() -> CrossTableLookup:
+def ctl_logic(t=_DEFAULT_TABLES) -> CrossTableLookup:
     """(reference all_stark.rs:136-154; filter deviation in module doc)."""
-    lookers = [
-        TableWithColumns(table=KECCAK_SPONGE,
+    lookers = []
+    if "cpu" in t:
+        from . import cpu as cpu_mod
+        lookers.append(TableWithColumns(
+            table=t["cpu"], columns=cpu_mod.ctl_data_logic(),
+            filter_column=cpu_mod.ctl_filter_logic()))
+    lookers += [
+        TableWithColumns(table=t["keccak_sponge"],
                          columns=sponge_mod.ctl_looking_logic(i),
                          filter_column=sponge_mod.ctl_looking_logic_filter())
         for i in range(sponge_mod.num_logic_ctls())]
-    looked = TableWithColumns(table=LOGIC, columns=logic_mod.ctl_data(),
+    looked = TableWithColumns(table=t["logic"], columns=logic_mod.ctl_data(),
                               filter_column=logic_mod.ctl_filter())
     return CrossTableLookup(looking_tables=lookers, looked_table=looked)
 
 
-def ctl_memory() -> CrossTableLookup:
-    """(reference all_stark.rs:156-177, minus the CPU channels)."""
-    lookers = [
-        TableWithColumns(table=KECCAK_SPONGE,
+def ctl_memory(t=_DEFAULT_TABLES) -> CrossTableLookup:
+    """(reference all_stark.rs:156-177)."""
+    lookers = []
+    if "cpu" in t:
+        from . import cpu as cpu_mod
+        lookers.append(TableWithColumns(
+            table=t["cpu"], columns=cpu_mod.ctl_data_code_memory(),
+            filter_column=cpu_mod.ctl_filter_code_memory()))
+        for ch in range(cpu_mod.NUM_GP_CHANNELS):
+            lookers.append(TableWithColumns(
+                table=t["cpu"], columns=cpu_mod.ctl_data_gp_memory(ch),
+                filter_column=cpu_mod.ctl_filter_gp_memory(ch)))
+    lookers += [
+        TableWithColumns(table=t["keccak_sponge"],
                          columns=sponge_mod.ctl_looking_memory(i),
                          filter_column=sponge_mod.ctl_looking_memory_filter(i))
         for i in range(KECCAK_RATE_BYTES)]
-    looked = TableWithColumns(table=MEMORY, columns=memory_mod.ctl_data(),
+    looked = TableWithColumns(table=t["memory"],
+                              columns=memory_mod.ctl_data(),
                               filter_column=memory_mod.ctl_filter())
     return CrossTableLookup(looking_tables=lookers, looked_table=looked)
 
 
+def ctl_keccak_sponge(t) -> CrossTableLookup:
+    """CPU looks up its sponge results (reference all_stark.rs:122-134)."""
+    from . import cpu as cpu_mod
+    looking = TableWithColumns(
+        table=t["cpu"], columns=cpu_mod.ctl_data_keccak_sponge(),
+        filter_column=cpu_mod.ctl_filter_keccak_sponge())
+    looked = TableWithColumns(
+        table=t["keccak_sponge"], columns=sponge_mod.ctl_looked_data(),
+        filter_column=sponge_mod.ctl_looked_filter())
+    return CrossTableLookup(looking_tables=[looking], looked_table=looked)
+
+
 def all_cross_table_lookups() -> List[CrossTableLookup]:
     return [ctl_keccak(), ctl_logic(), ctl_memory()]
+
+
+def all_cross_table_lookups_with_cpu() -> List[CrossTableLookup]:
+    t = CPU_TABLES
+    return [ctl_keccak(t), ctl_keccak_sponge(t), ctl_logic(t),
+            ctl_memory(t)]
 
 
 def make_all_stark() -> AllStark:
@@ -83,17 +125,12 @@ def make_all_stark() -> AllStark:
         cross_table_lookups=all_cross_table_lookups())
 
 
-def generate_all_traces(ops: List[KeccakSpongeOp],
-                        min_rows: int = 8) -> List[np.ndarray]:
-    """Consistent witness generation across the four tables from sponge
-    operations (the role of reference generation/ for this table subset)."""
-    sponge = KeccakSpongeStark()
-    sponge_trace = sponge.generate_trace(ops, min_rows=min_rows)
-
+def _sponge_derived_witness(sponge_trace: np.ndarray):
+    """keccak-f inputs, logic XOR ops and memory reads implied by the sponge
+    trace (the role of reference generation/ for these tables)."""
     keccak_inputs: List[List[int]] = []
     logic_ops: List[LogicOp] = []
     memory_ops: List[MemoryOp] = []
-
     n = sponge_trace.shape[1]
     for j in range(n):
         is_full = int(sponge_trace[sponge_mod.IS_FULL_INPUT_BLOCK, j])
@@ -130,9 +167,46 @@ def generate_all_traces(ops: List[KeccakSpongeOp],
                 filter=True, timestamp=ts, is_read=True, context=ctx,
                 segment=seg, virt=virt + absorbed + i,
                 value=block[i]))
+    return keccak_inputs, logic_ops, memory_ops
 
+
+def generate_all_traces(ops: List[KeccakSpongeOp],
+                        min_rows: int = 8) -> List[np.ndarray]:
+    """Consistent witness generation across the four tables from sponge
+    operations."""
+    sponge_trace = KeccakSpongeStark().generate_trace(ops, min_rows=min_rows)
+    keccak_inputs, logic_ops, memory_ops = \
+        _sponge_derived_witness(sponge_trace)
     keccak_trace = KeccakStark().generate_trace(keccak_inputs,
                                                 min_rows=min_rows)
     logic_trace = LogicStark().generate_trace(logic_ops, min_rows=min_rows)
     memory_trace = MemoryStark().generate_trace(memory_ops)
     return [keccak_trace, sponge_trace, logic_trace, memory_trace]
+
+
+def make_all_stark_with_cpu(kernel) -> AllStark:
+    from .cpu import CpuStark
+    return AllStark(
+        starks=[CpuStark(kernel), KeccakStark(), KeccakSpongeStark(),
+                LogicStark(), MemoryStark()],
+        cross_table_lookups=all_cross_table_lookups_with_cpu())
+
+
+def generate_all_traces_with_cpu(kernel, min_rows: int = 8
+                                 ) -> List[np.ndarray]:
+    """Witness generation for the 5-table system: the CPU bootstraps the
+    kernel into memory, the sponge hashes it, and the CPU looks up the
+    resulting code digest (reference generation/ + bootstrap_kernel.rs)."""
+    from .cpu import generate_bootstrap_kernel
+    cpu_trace, cpu_memory_ops, sponge_ops = \
+        generate_bootstrap_kernel(kernel, min_rows=min_rows)
+    sponge_trace = KeccakSpongeStark().generate_trace(sponge_ops,
+                                                      min_rows=min_rows)
+    keccak_inputs, logic_ops, sponge_memory_ops = \
+        _sponge_derived_witness(sponge_trace)
+    keccak_trace = KeccakStark().generate_trace(keccak_inputs,
+                                                min_rows=min_rows)
+    logic_trace = LogicStark().generate_trace(logic_ops, min_rows=min_rows)
+    memory_trace = MemoryStark().generate_trace(cpu_memory_ops
+                                                + sponge_memory_ops)
+    return [cpu_trace, keccak_trace, sponge_trace, logic_trace, memory_trace]

@@ -1,0 +1,271 @@
+"""CPU table — kernel-bootstrap phase
+(reference evm/src/cpu/{columns,membus,bootstrap_kernel,cpu_stark}.rs).
+
+The bootstrap phase hashes the kernel code while writing it to memory: each
+row writes NUM_GP_CHANNELS code bytes through the memory channels, and the
+final bootstrap row exposes a keccak-sponge lookup of the whole code whose
+digest is constrained to equal the kernel's precomputed hash.
+
+Channel usage on the final row (we fix two inconsistencies in the
+reference: bootstrap_kernel.rs:44-51 writes the digest to channel 4 while
+ctl_data_keccak_sponge reads channel 3, and stores the clock where the
+sponge expects the length):
+  ch0.value[0] = context, ch1.value[0] = segment, ch2.value[0] = virt,
+  ch3.value[0] = len, ch4.value[..8] = code hash (8 u32 limbs).
+
+Cycle-execution constraints (decode, stack, jumps, syscalls, ...) are the
+next stage; rows with is_cpu_cycle = 1 are not yet generated."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+from ..stark.stark import Stark
+from .cross_table_lookup import Column
+from .kernel.assembler import Kernel
+from .memory import MemoryOp, Segment
+from .keccak_sponge import KeccakSpongeOp
+
+NUM_GP_CHANNELS = 5                      # membus.rs:10
+MEM_CODE_CHANNEL_IDX = 0                 # cpu_stark.rs:60-61
+MEM_GP_CHANNELS_IDX_START = 1
+NUM_CHANNELS = 1 + NUM_GP_CHANNELS       # code channel + GP channels
+VALUE_LIMBS = 8
+
+# --- column layout (reference cpu/columns/mod.rs:37-80, ops.rs:9-58) ------
+
+_c = 0
+
+
+def _col() -> int:
+    global _c
+    i = _c
+    _c += 1
+    return i
+
+
+IS_BOOTSTRAP_KERNEL = _col()
+IS_CPU_CYCLE = _col()
+CONTEXT = _col()
+CODE_CONTEXT = _col()
+PROGRAM_COUNTER = _col()
+STACK_LEN = _col()
+STACK_LEN_BOUNDS_AUX = _col()
+IS_KERNEL_MODE = _col()
+
+OP_NAMES = [
+    "add", "mul", "sub", "div", "mod_", "addmod", "mulmod", "addfp254",
+    "mulfp254", "subfp254", "lt", "gt", "eq", "iszero", "and_", "or_",
+    "xor", "not_", "byte", "shl", "shr", "keccak_general", "prover_input",
+    "pop", "jump", "jumpi", "pc", "gas", "jumpdest", "push", "dup", "swap",
+    "get_context", "set_context", "consume_gas", "exit_kernel",
+    "mload_general", "mstore_general", "syscall",
+]
+OP = {name: _col() for name in OP_NAMES}
+OPCODE_BITS = [_col() for _ in range(8)]
+IS_KECCAK_SPONGE = _col()
+# shared "general" columns (union of per-op views, general.rs:87-114)
+NUM_SHARED_COLUMNS = 8
+GENERAL = [_col() for _ in range(NUM_SHARED_COLUMNS)]
+CLOCK = _col()
+
+
+@dataclass(frozen=True)
+class MemChannel:
+    used: int
+    is_read: int
+    addr_context: int
+    addr_segment: int
+    addr_virtual: int
+    value: Tuple[int, ...]
+
+
+def _channel() -> MemChannel:
+    return MemChannel(used=_col(), is_read=_col(), addr_context=_col(),
+                      addr_segment=_col(), addr_virtual=_col(),
+                      value=tuple(_col() for _ in range(VALUE_LIMBS)))
+
+
+MEM_CHANNELS = [_channel() for _ in range(NUM_GP_CHANNELS)]
+NUM_CPU_COLUMNS = _c
+
+
+# --- CTL columns (reference cpu_stark.rs:23-112) --------------------------
+
+def _mem_time_and_channel(channel: int) -> Column:
+    return Column([(CLOCK, NUM_CHANNELS)], constant=channel)
+
+
+def ctl_data_keccak_sponge() -> List[Column]:
+    cols = Column.singles([MEM_CHANNELS[0].value[0], MEM_CHANNELS[1].value[0],
+                           MEM_CHANNELS[2].value[0], MEM_CHANNELS[3].value[0]])
+    cols.append(Column([(CLOCK, NUM_CHANNELS)]))
+    cols += Column.singles(MEM_CHANNELS[4].value)
+    return cols
+
+
+def ctl_filter_keccak_sponge() -> Column:
+    return Column.single(IS_KECCAK_SPONGE)
+
+
+def ctl_data_logic() -> List[Column]:
+    res = Column.singles([OP["and_"], OP["or_"], OP["xor"]])
+    for ch in (0, 1, 2):
+        res += Column.singles(MEM_CHANNELS[ch].value)
+    return res
+
+
+def ctl_filter_logic() -> Column:
+    return Column.sum_cols([OP["and_"], OP["or_"], OP["xor"]])
+
+
+def ctl_data_code_memory() -> List[Column]:
+    cols = [Column.constant_col(1),
+            Column.single(CODE_CONTEXT),
+            Column.constant_col(int(Segment.Code)),
+            Column.single(PROGRAM_COUNTER),
+            Column.le_bits(OPCODE_BITS)]
+    cols += [Column.constant_col(0)] * (VALUE_LIMBS - 1)
+    cols.append(_mem_time_and_channel(MEM_CODE_CHANNEL_IDX))
+    return cols
+
+
+def ctl_filter_code_memory() -> Column:
+    return Column.single(IS_CPU_CYCLE)
+
+
+def ctl_data_gp_memory(channel: int) -> List[Column]:
+    ch = MEM_CHANNELS[channel]
+    cols = Column.singles([ch.is_read, ch.addr_context, ch.addr_segment,
+                           ch.addr_virtual])
+    cols += Column.singles(ch.value)
+    cols.append(_mem_time_and_channel(MEM_GP_CHANNELS_IDX_START + channel))
+    return cols
+
+
+def ctl_filter_gp_memory(channel: int) -> Column:
+    return Column.single(MEM_CHANNELS[channel].used)
+
+
+# --- witness generation ---------------------------------------------------
+
+def generate_bootstrap_kernel(kernel: Kernel, min_rows: int = 8
+                              ) -> Tuple[np.ndarray, List[MemoryOp],
+                                         List[KeccakSpongeOp]]:
+    """CPU trace + the memory writes + the sponge op of the bootstrap phase
+    (reference bootstrap_kernel.rs:23-57)."""
+    code = kernel.code
+    chunks = [code[i:i + NUM_GP_CHANNELS]
+              for i in range(0, len(code), NUM_GP_CHANNELS)]
+    n = len(chunks) + 1
+    rows = max(n, min_rows)
+    rows = 1 << (rows - 1).bit_length()
+    if rows == n:  # the last row must not be a bootstrap row
+        rows *= 2
+    trace = np.zeros((NUM_CPU_COLUMNS, rows), dtype=np.uint64)
+    trace[CLOCK] = np.arange(rows, dtype=np.uint64)
+    memory_ops: List[MemoryOp] = []
+
+    for clock, chunk in enumerate(chunks):
+        trace[IS_BOOTSTRAP_KERNEL, clock] = 1
+        for i, byte in enumerate(chunk):
+            ch = MEM_CHANNELS[i]
+            addr = clock * NUM_GP_CHANNELS + i
+            trace[ch.used, clock] = 1
+            trace[ch.is_read, clock] = 0
+            trace[ch.addr_context, clock] = 0
+            trace[ch.addr_segment, clock] = int(Segment.Code)
+            trace[ch.addr_virtual, clock] = addr
+            trace[ch.value[0], clock] = byte
+            memory_ops.append(MemoryOp(
+                filter=True, is_read=False, context=0,
+                segment=int(Segment.Code), virt=addr, value=byte,
+                timestamp=clock * NUM_CHANNELS
+                + MEM_GP_CHANNELS_IDX_START + i))
+
+    final = len(chunks)
+    trace[IS_BOOTSTRAP_KERNEL, final] = 1
+    trace[IS_KECCAK_SPONGE, final] = 1
+    trace[MEM_CHANNELS[0].value[0], final] = 0                  # context
+    trace[MEM_CHANNELS[1].value[0], final] = int(Segment.Code)  # segment
+    trace[MEM_CHANNELS[2].value[0], final] = 0                  # virt
+    trace[MEM_CHANNELS[3].value[0], final] = len(code)          # len
+    for i, limb in enumerate(kernel.code_hash):
+        trace[MEM_CHANNELS[4].value[i], final] = limb
+
+    sponge_op = KeccakSpongeOp(context=0, segment=int(Segment.Code), virt=0,
+                               timestamp=final * NUM_CHANNELS, input=code)
+    return trace, memory_ops, [sponge_op]
+
+
+# --- the STARK ------------------------------------------------------------
+
+class CpuStark(Stark):
+    COLUMNS = NUM_CPU_COLUMNS
+    PUBLIC_INPUTS = 0
+
+    def __init__(self, kernel: Kernel):
+        self.kernel = kernel
+
+    def eval(self, alg, vars, yield_constr) -> None:
+        lv, nv = vars.local_values, vars.next_values
+        one = alg.one()
+
+        # bootstrap flag: starts at 1, ends at 0, delta in {0, -1}
+        # (reference bootstrap_kernel.rs:59-76)
+        is_bootstrap = lv[IS_BOOTSTRAP_KERNEL]
+        nxt_bootstrap = nv[IS_BOOTSTRAP_KERNEL]
+        yield_constr.constraint_first_row(alg.sub(is_bootstrap, one))
+        yield_constr.constraint_last_row(is_bootstrap)
+        delta = alg.sub(nxt_bootstrap, is_bootstrap)
+        yield_constr.constraint_transition(
+            alg.mul(delta, alg.add(delta, one)))
+
+        # bootstrap memory channels write the code segment sequentially
+        # (reference bootstrap_kernel.rs:77-89)
+        for i, ch in enumerate(MEM_CHANNELS):
+            filt = alg.mul(is_bootstrap, lv[ch.used])
+            yield_constr.constraint(alg.mul(filt, lv[ch.addr_context]))
+            yield_constr.constraint(alg.mul(
+                filt, alg.sub(lv[ch.addr_segment],
+                              alg.const(int(Segment.Code)))))
+            expected_virt = alg.add_const(
+                alg.mul_const(lv[CLOCK], NUM_GP_CHANNELS), i)
+            yield_constr.constraint(alg.mul(
+                filt, alg.sub(lv[ch.addr_virtual], expected_virt)))
+            # bootstrap channels are writes
+            yield_constr.constraint(alg.mul(filt, lv[ch.is_read]))
+
+        # the final bootstrap row carries the precomputed kernel code hash
+        # (reference bootstrap_kernel.rs:91-100); delta = -1 there
+        for i, expected in enumerate(self.kernel.code_hash):
+            diff = alg.sub(alg.const(expected),
+                           lv[MEM_CHANNELS[4].value[i]])
+            yield_constr.constraint_transition(alg.mul(delta, diff))
+        # ... and is the sponge-lookup row; the flag may only fire there
+        yield_constr.constraint_transition(
+            alg.sub(lv[IS_KECCAK_SPONGE], alg.mul(delta, alg.sub(alg.zero(),
+                                                                 one))))
+
+        # flags are boolean; channel `used` is boolean (membus.rs:34-60)
+        for c in ([IS_BOOTSTRAP_KERNEL, IS_CPU_CYCLE, IS_KECCAK_SPONGE,
+                   IS_KERNEL_MODE] + list(OP.values())
+                  + [ch.used for ch in MEM_CHANNELS]
+                  + [ch.is_read for ch in MEM_CHANNELS]):
+            yield_constr.constraint(alg.mul(lv[c], alg.sub(lv[c], one)))
+
+        # clock starts at 0 and increments (cpu_stark.rs eval)
+        yield_constr.constraint_first_row(lv[CLOCK])
+        yield_constr.constraint_transition(
+            alg.sub(alg.sub(nv[CLOCK], lv[CLOCK]), one))
+
+        # code_context = (1 - is_kernel_mode) * context (membus.rs:35-48)
+        filt = lv[IS_CPU_CYCLE]
+        expected_ctx = alg.mul(alg.sub(one, lv[IS_KERNEL_MODE]), lv[CONTEXT])
+        yield_constr.constraint(alg.mul(
+            filt, alg.sub(lv[CODE_CONTEXT], expected_ctx)))
+
+    def constraint_degree(self) -> int:
+        return 3

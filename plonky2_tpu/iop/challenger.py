@@ -102,6 +102,23 @@ class RecursiveChallenger:
         self.input_buffer: list = []
         self.output_buffer: list = []
 
+    @classmethod
+    def from_state(cls, builder, state_targets):
+        """Resume an in-circuit transcript from a compacted sponge state
+        (reference challenger.rs from_state / evm recursive verification)."""
+        ch = cls(builder)
+        assert len(state_targets) == pos.WIDTH
+        ch.sponge_state = list(state_targets)
+        return ch
+
+    def compact(self, builder):
+        """Absorb any pending inputs and return the sponge state targets,
+        mirroring the native Challenger.compact transcript position."""
+        if self.input_buffer:
+            self._absorb_buffered(builder)
+        self.output_buffer.clear()
+        return list(self.sponge_state)
+
     def observe_element(self, target) -> None:
         self.output_buffer.clear()
         self.input_buffer.append(target)
