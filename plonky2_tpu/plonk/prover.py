@@ -28,7 +28,7 @@ from .vanishing import eval_vanishing_poly
 
 def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
           inputs: PartialWitness, use_device: bool | None = None,
-          timing=None) -> ProofWithPublicInputs:
+          timing=None, session=None) -> ProofWithPublicInputs:
     from ..utils.timing import NoopTimingTree
     timing = timing if timing is not None else NoopTimingTree()
     config = common_data.config
@@ -75,9 +75,15 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
     alphas = challenger.get_n_challenges(num_challenges)
 
     with timing.scope("compute quotient polys"):
-        quotient_polys = _compute_quotient_polys(
-            common_data, prover_data, public_inputs_hash, wires_commitment,
-            zs_partial_products_commitment, betas, gammas, alphas)
+        if session is not None and session.quotient_on_device:
+            quotient_polys = session.compute_quotient_polys(
+                public_inputs_hash, wires_commitment,
+                zs_partial_products_commitment, betas, gammas, alphas)
+        else:
+            quotient_polys = _compute_quotient_polys(
+                common_data, prover_data, public_inputs_hash,
+                wires_commitment, zs_partial_products_commitment, betas,
+                gammas, alphas)
     # split each quotient poly (8n coeffs) into degree-n chunks
     chunks = quotient_polys.reshape(
         num_challenges * common_data.quotient_degree_factor, degree)

@@ -63,8 +63,9 @@ def eval_vanishing_poly(alg, common_data, x, vars: EvaluationVars,
     """Returns num_challenges alpha-reduced vanishing evaluations.
 
     `x` is an algebra value (batched base points or ext scalar); `l_0_x` is
-    the precomputed L_0(x) in the same algebra; betas/gammas/alphas are base
-    field ints.
+    the precomputed L_0(x) in the same algebra.  betas/gammas/alphas may be
+    base-field ints (host path) or algebra values (so the whole evaluation
+    can be traced on-device with the challenges as runtime inputs).
     """
     max_degree = common_data.quotient_degree_factor
     num_prods = common_data.num_partial_products
@@ -85,11 +86,20 @@ def eval_vanishing_poly(alg, common_data, x, vars: EvaluationVars,
         denominators = []
         for j in range(num_routed):
             wire = vars.local_wires[j]
-            bk = (beta * common_data.k_is[j]) % gl.P
-            numerators.append(alg.add_const(alg.add(wire, alg.mul_const(x, bk)),
-                                            gamma))
-            denominators.append(alg.add_const(
-                alg.add(wire, alg.mul_const(s_sigmas[j], beta)), gamma))
+            if isinstance(beta, int):
+                bk = (beta * common_data.k_is[j]) % gl.P
+                num = alg.add(wire, alg.mul_const(x, bk))
+                den = alg.add(wire, alg.mul_const(s_sigmas[j], beta))
+            else:
+                num = alg.add(wire, alg.mul(
+                    x, alg.mul_const(beta, common_data.k_is[j])))
+                den = alg.add(wire, alg.mul(s_sigmas[j], beta))
+            if isinstance(gamma, int):
+                numerators.append(alg.add_const(num, gamma))
+                denominators.append(alg.add_const(den, gamma))
+            else:
+                numerators.append(alg.add(num, gamma))
+                denominators.append(alg.add(den, gamma))
 
         pps = partial_products[i * num_prods:(i + 1) * num_prods]
         vanishing_partial_products_terms.extend(
@@ -97,7 +107,9 @@ def eval_vanishing_poly(alg, common_data, x, vars: EvaluationVars,
                                    z_x, z_gx, max_degree))
 
     terms = vanishing_z_1_terms + vanishing_partial_products_terms + constraint_terms
-    return [reduce_with_powers(alg, terms, alg.const(a)) for a in alphas]
+    return [reduce_with_powers(alg, terms,
+                               alg.const(a) if isinstance(a, int) else a)
+            for a in alphas]
 
 
 def eval_l_0_ext(alg, n: int, x):
