@@ -29,3 +29,13 @@ def test_square_root_circuit():
     proof = data.prove(pw)
     assert proof.public_inputs == [9]
     data.verify(proof)
+
+
+def test_generated_poseidon_constants_match_table():
+    """The ChaCha8-based generator must reproduce plonky2's hardcoded
+    ALL_ROUND_CONSTANTS exactly (reference bin/generate_constants.rs)."""
+    from plonky2_tpu.hash import poseidon as pos
+    from plonky2_tpu.utils.generate_constants import \
+        generate_poseidon_constants
+    cs = generate_poseidon_constants()
+    assert cs == [int(x) for x in pos.ALL_ROUND_CONSTANTS][:len(cs)]
