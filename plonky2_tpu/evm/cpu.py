@@ -91,6 +91,42 @@ def _channel() -> MemChannel:
 MEM_CHANNELS = [_channel() for _ in range(NUM_GP_CHANNELS)]
 NUM_CPU_COLUMNS = _c
 
+# Opcode blocks: (block start, log2(block length), kernel-only, flag name)
+# (reference decode.rs:25-67). Each block is aligned and power-of-2 sized.
+OPCODE_BLOCKS = [
+    (0x01, 0, False, "add"), (0x02, 0, False, "mul"), (0x03, 0, False, "sub"),
+    (0x04, 0, False, "div"), (0x06, 0, False, "mod_"),
+    (0x08, 0, False, "addmod"), (0x09, 0, False, "mulmod"),
+    (0x0C, 0, True, "addfp254"), (0x0D, 0, True, "mulfp254"),
+    (0x0E, 0, True, "subfp254"), (0x10, 0, False, "lt"),
+    (0x11, 0, False, "gt"), (0x14, 0, False, "eq"),
+    (0x15, 0, False, "iszero"), (0x16, 0, False, "and_"),
+    (0x17, 0, False, "or_"), (0x18, 0, False, "xor"),
+    (0x19, 0, False, "not_"), (0x1A, 0, False, "byte"),
+    (0x1B, 0, False, "shl"), (0x1C, 0, False, "shr"),
+    (0x21, 0, True, "keccak_general"), (0x49, 0, True, "prover_input"),
+    (0x50, 0, False, "pop"), (0x56, 0, False, "jump"),
+    (0x57, 0, False, "jumpi"), (0x58, 0, False, "pc"),
+    (0x5A, 0, False, "gas"), (0x5B, 0, False, "jumpdest"),
+    (0x60, 5, False, "push"), (0x80, 4, False, "dup"),
+    (0x90, 4, False, "swap"), (0xF6, 0, True, "get_context"),
+    (0xF7, 0, True, "set_context"), (0xF8, 0, True, "consume_gas"),
+    (0xF9, 0, True, "exit_kernel"), (0xFB, 0, True, "mload_general"),
+    (0xFC, 0, True, "mstore_general"),
+]
+
+
+def invalid_opcodes_user() -> bytes:
+    """Little-endian bitfield of user-invalid opcodes
+    (reference decode.rs:69-94)."""
+    res = bytearray([0xFF] * 32)
+    for start, lb, kernel_only, _ in OPCODE_BLOCKS:
+        if kernel_only:
+            continue
+        for op in range(start, start + (1 << lb)):
+            res[op // 8] &= ~(1 << (op % 8)) & 0xFF
+    return bytes(res)
+
 
 # --- CTL columns (reference cpu_stark.rs:23-112) --------------------------
 
@@ -150,6 +186,31 @@ def ctl_filter_gp_memory(channel: int) -> Column:
 
 
 # --- witness generation ---------------------------------------------------
+
+def decode_flags(opcode: int, kernel_mode: bool) -> dict:
+    """Instruction flags implied by an opcode byte
+    (reference decode.rs:96-137 generate)."""
+    flags = {}
+    for start, lb, kernel_only, name in OPCODE_BLOCKS:
+        match = (opcode >> lb) == (start >> lb)
+        flags[name] = int(match and (not kernel_only or kernel_mode))
+    return flags
+
+
+def fill_cycle_row(trace: np.ndarray, j: int, opcode: int,
+                   kernel_mode: bool = True, context: int = 0) -> None:
+    """Populate the decode-related columns of a cycle row (witness side of
+    the decode constraints; full execution semantics land with the stack /
+    jump / syscall constraint stages)."""
+    trace[IS_CPU_CYCLE, j] = 1
+    trace[IS_KERNEL_MODE, j] = int(kernel_mode)
+    trace[CONTEXT, j] = context
+    trace[CODE_CONTEXT, j] = 0 if kernel_mode else context
+    for i, b in enumerate(OPCODE_BITS):
+        trace[b, j] = (opcode >> i) & 1
+    for name, v in decode_flags(opcode, kernel_mode).items():
+        trace[OP[name], j] = v
+
 
 def generate_bootstrap_kernel(kernel: Kernel, min_rows: int = 8
                               ) -> Tuple[np.ndarray, List[MemoryOp],
@@ -266,6 +327,42 @@ class CpuStark(Stark):
         expected_ctx = alg.mul(alg.sub(one, lv[IS_KERNEL_MODE]), lv[CONTEXT])
         yield_constr.constraint(alg.mul(
             filt, alg.sub(lv[CODE_CONTEXT], expected_ctx)))
+
+        self._eval_decode(alg, lv, yield_constr)
+
+    def _eval_decode(self, alg, lv, yield_constr) -> None:
+        """Opcode-bit decoding into instruction flags on cycle rows
+        (reference decode.rs:155-210).  Deviation: a flag's opcode match
+        checks the top ``8 - log2(block length)`` bits; the reference's
+        ``take(block_length + 1)`` checks only the top bit for single-opcode
+        blocks (decode.rs:191-196), which would let a dishonest prover raise
+        e.g. the ADD flag for any 0x0*-0x7* opcode."""
+        one = alg.one()
+        cycle = lv[IS_CPU_CYCLE]
+        kernel = lv[IS_KERNEL_MODE]
+
+        for b in OPCODE_BITS:
+            yield_constr.constraint(
+                alg.mul(cycle, alg.mul(lv[b], alg.sub(lv[b], one))))
+
+        flag_sum = alg.zero()
+        for _, _, _, name in OPCODE_BLOCKS:
+            flag = lv[OP[name]]
+            flag_sum = alg.add(flag_sum, flag)
+        yield_constr.constraint(
+            alg.mul(cycle, alg.mul(flag_sum, alg.sub(flag_sum, one))))
+
+        for start, lb, kernel_only, name in OPCODE_BLOCKS:
+            unavailable = alg.sub(one, kernel) if kernel_only else alg.zero()
+            mismatch = alg.zero()
+            for bit_idx in range(7, lb - 1, -1):
+                flag_bit = (start >> bit_idx) & 1
+                row_bit = lv[OPCODE_BITS[bit_idx]]
+                mismatch = alg.add(
+                    mismatch, alg.sub(one, row_bit) if flag_bit else row_bit)
+            yield_constr.constraint(alg.mul(
+                cycle, alg.mul(lv[OP[name]],
+                               alg.add(unavailable, mismatch))))
 
     def constraint_degree(self) -> int:
         return 3

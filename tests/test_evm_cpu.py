@@ -80,3 +80,80 @@ def test_all_stark_with_cpu_rejects_wrong_code_hash():
     with pytest.raises(Exception):
         proof = prove_all(all_stark, config, traces)
         verify_all_proof(all_stark, proof, config)
+
+
+def _row_constraint_violations(stark, trace):
+    """Evaluate all constraints row-wise; returns indices of violated ones."""
+    from plonky2_tpu.plonk.algebra import NumpyBatch
+    from plonky2_tpu.stark.stark import StarkEvaluationVars
+    n = trace.shape[1]
+    alg = NumpyBatch()
+
+    class Rec:
+        def __init__(self):
+            self.fails = []
+            self.idx = 0
+
+        def _check(self, c, rows):
+            arr = np.broadcast_to(np.asarray(c, dtype=np.uint64), (n,))
+            if np.any(arr[rows]):
+                self.fails.append(self.idx)
+            self.idx += 1
+
+        def constraint(self, c):
+            self._check(c, slice(None))
+
+        def constraint_transition(self, c):
+            self._check(c, slice(0, n - 1))
+
+        def constraint_first_row(self, c):
+            self._check(c, slice(0, 1))
+
+        def constraint_last_row(self, c):
+            self._check(c, slice(n - 1, n))
+
+    rec = Rec()
+    vars = StarkEvaluationVars(
+        local_values=[trace[c] for c in range(stark.COLUMNS)],
+        next_values=[np.roll(trace[c], -1) for c in range(stark.COLUMNS)],
+        public_inputs=[])
+    stark.eval(alg, vars, rec)
+    return rec.fails
+
+
+def test_decode_constraints_accept_correct_flags():
+    kernel = make_kernel()
+    stark = cpu_mod.CpuStark(kernel)
+    trace, _, _ = cpu_mod.generate_bootstrap_kernel(kernel, min_rows=16)
+    # append cycle rows after bootstrap with decoded opcodes
+    boot_end = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
+    for j, op in enumerate([0x01, 0x60, 0x8F, 0x56, 0xF9, 0x5B]):
+        cpu_mod.fill_cycle_row(trace, boot_end + j, op, kernel_mode=True)
+    assert _row_constraint_violations(stark, trace) == []
+
+
+def test_decode_constraints_reject_wrong_flag():
+    kernel = make_kernel()
+    stark = cpu_mod.CpuStark(kernel)
+    trace, _, _ = cpu_mod.generate_bootstrap_kernel(kernel, min_rows=16)
+    boot_end = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
+    cpu_mod.fill_cycle_row(trace, boot_end, 0x01, kernel_mode=True)  # ADD
+    # claim MUL instead of ADD: decode must reject
+    trace[cpu_mod.OP["add"], boot_end] = 0
+    trace[cpu_mod.OP["mul"], boot_end] = 1
+    assert _row_constraint_violations(stark, trace) != []
+    # kernel-only op in user mode must also be rejected
+    trace2, _, _ = cpu_mod.generate_bootstrap_kernel(kernel, min_rows=16)
+    cpu_mod.fill_cycle_row(trace2, boot_end, 0xF9, kernel_mode=True)
+    trace2[cpu_mod.IS_KERNEL_MODE, boot_end] = 0  # drop privilege
+    assert _row_constraint_violations(stark, trace2) != []
+
+
+def test_invalid_opcodes_bitfield():
+    inv = cpu_mod.invalid_opcodes_user()
+    assert len(inv) == 32
+    # ADD (0x01) valid for users; EXIT_KERNEL (0xF9) kernel-only => invalid
+    assert not (inv[0x01 // 8] >> (0x01 % 8)) & 1
+    assert (inv[0xF9 // 8] >> (0xF9 % 8)) & 1
+    # PUSH block 0x60..0x7F all valid
+    assert all(not (inv[op // 8] >> (op % 8)) & 1 for op in range(0x60, 0x80))
