@@ -212,6 +212,29 @@ def fill_cycle_row(trace: np.ndarray, j: int, opcode: int,
         trace[OP[name], j] = v
 
 
+def set_u256_channel(trace: np.ndarray, j: int, channel: int, value: int):
+    for i, c in enumerate(MEM_CHANNELS[channel].value):
+        trace[c, j] = (value >> (32 * i)) & 0xFFFFFFFF
+
+
+def set_eq_iszero_values(trace: np.ndarray, j: int, val0: int, val1: int):
+    """Witness EQ/ISZERO: inputs in channels 0/1, result bit in channel 2,
+    pseudoinverse certificate in the GENERAL columns
+    (reference eq_iszero.rs:22-49 generate_pinv_diff)."""
+    from ..field import goldilocks as gl
+    set_u256_channel(trace, j, 0, val0)
+    set_u256_channel(trace, j, 1, val1)
+    l0 = [(val0 >> (32 * i)) & 0xFFFFFFFF for i in range(VALUE_LIMBS)]
+    l1 = [(val1 >> (32 * i)) & 0xFFFFFFFF for i in range(VALUE_LIMBS)]
+    num_unequal = sum(a != b for a, b in zip(l0, l1))
+    set_u256_channel(trace, j, 2, int(num_unequal == 0))
+    n_inv = pow(num_unequal, gl.P - 2, gl.P) if num_unequal else 0
+    for c, a, b in zip(GENERAL, l0, l1):
+        d = (a - b) % gl.P
+        d_inv = pow(d, gl.P - 2, gl.P) if d else 0
+        trace[c, j] = d_inv * n_inv % gl.P
+
+
 def generate_bootstrap_kernel(kernel: Kernel, min_rows: int = 8
                               ) -> Tuple[np.ndarray, List[MemoryOp],
                                          List[KeccakSpongeOp]]:
@@ -329,6 +352,9 @@ class CpuStark(Stark):
             filt, alg.sub(lv[CODE_CONTEXT], expected_ctx)))
 
         self._eval_decode(alg, lv, yield_constr)
+        self._eval_pc(alg, lv, yield_constr)
+        self._eval_not(alg, lv, yield_constr)
+        self._eval_eq_iszero(alg, lv, yield_constr)
 
     def _eval_decode(self, alg, lv, yield_constr) -> None:
         """Opcode-bit decoding into instruction flags on cycle rows
@@ -363,6 +389,57 @@ class CpuStark(Stark):
             yield_constr.constraint(alg.mul(
                 cycle, alg.mul(lv[OP[name]],
                                alg.add(unavailable, mismatch))))
+
+    def _eval_pc(self, alg, lv, yield_constr) -> None:
+        """GETPC pushes the program counter (reference pc.rs:10-20)."""
+        filt = lv[OP["pc"]]
+        push_value = MEM_CHANNELS[NUM_GP_CHANNELS - 1].value
+        yield_constr.constraint(alg.mul(
+            filt, alg.sub(lv[push_value[0]], lv[PROGRAM_COUNTER])))
+        for c in push_value[1:]:
+            yield_constr.constraint(alg.mul(filt, lv[c]))
+
+    def _eval_not(self, alg, lv, yield_constr) -> None:
+        """NOT: output = 0xffffffff - input per 32-bit limb
+        (reference simple_logic/not.rs:14-29)."""
+        filt = alg.mul(lv[IS_CPU_CYCLE], lv[OP["not_"]])
+        inp = MEM_CHANNELS[0].value
+        out = MEM_CHANNELS[NUM_GP_CHANNELS - 1].value
+        all1 = alg.const((1 << 32) - 1)
+        for i, o in zip(inp, out):
+            yield_constr.constraint(alg.mul(
+                filt, alg.sub(alg.add(lv[o], lv[i]), all1)))
+
+    def _eval_eq_iszero(self, alg, lv, yield_constr) -> None:
+        """EQ/ISZERO with a pseudoinverse witness: output bit is 1 iff the
+        256-bit inputs are equal (reference simple_logic/eq_iszero.rs:51-120;
+        ISZERO is EQ(x, 0)).  diff_pinv lives in the shared GENERAL
+        columns."""
+        one = alg.one()
+        input0 = [lv[c] for c in MEM_CHANNELS[0].value]
+        input1 = [lv[c] for c in MEM_CHANNELS[1].value]
+        output = [lv[c] for c in MEM_CHANNELS[2].value]
+        diff_pinv = [lv[c] for c in GENERAL]
+        eq_f = lv[OP["eq"]]
+        iszero_f = lv[OP["iszero"]]
+        filt = alg.add(eq_f, iszero_f)
+
+        equal = output[0]
+        unequal = alg.sub(one, equal)
+        yield_constr.constraint(alg.mul(filt, alg.mul(equal, unequal)))
+        for limb in output[1:]:
+            yield_constr.constraint(alg.mul(filt, limb))
+        for limb in input1:
+            yield_constr.constraint(alg.mul(iszero_f, limb))
+        # equal == 1 forces all limbs equal
+        for l0, l1 in zip(input0, input1):
+            yield_constr.constraint(
+                alg.mul(filt, alg.mul(equal, alg.sub(l0, l1))))
+        # unequal forces a witnessed certificate: (in0-in1) . diff_pinv == 1
+        dot = alg.zero()
+        for l0, l1, pinv in zip(input0, input1, diff_pinv):
+            dot = alg.add(dot, alg.mul(alg.sub(l0, l1), pinv))
+        yield_constr.constraint(alg.mul(filt, alg.sub(dot, unequal)))
 
     def constraint_degree(self) -> int:
         return 3

@@ -157,3 +157,53 @@ def test_invalid_opcodes_bitfield():
     assert (inv[0xF9 // 8] >> (0xF9 % 8)) & 1
     # PUSH block 0x60..0x7F all valid
     assert all(not (inv[op // 8] >> (op % 8)) & 1 for op in range(0x60, 0x80))
+
+
+def test_simple_logic_and_pc_constraints():
+    kernel = make_kernel()
+    stark = cpu_mod.CpuStark(kernel)
+    trace, _, _ = cpu_mod.generate_bootstrap_kernel(kernel, min_rows=32)
+    j = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
+
+    # GETPC: push_value[0] == program_counter
+    cpu_mod.fill_cycle_row(trace, j, 0x58)
+    trace[cpu_mod.PROGRAM_COUNTER, j] = 77
+    cpu_mod.set_u256_channel(trace, j, cpu_mod.NUM_GP_CHANNELS - 1, 77)
+
+    # NOT: out = ~in per 32-bit limb
+    v = 0x1234_5678_9ABC_DEF0_0F0F * 7919
+    cpu_mod.fill_cycle_row(trace, j + 1, 0x19)
+    cpu_mod.set_u256_channel(trace, j + 1, 0, v)
+    mask = (1 << 256) - 1
+    cpu_mod.set_u256_channel(trace, j + 1, cpu_mod.NUM_GP_CHANNELS - 1,
+                             v ^ mask)
+
+    # EQ equal, EQ unequal, ISZERO zero, ISZERO nonzero
+    cpu_mod.fill_cycle_row(trace, j + 2, 0x14)
+    cpu_mod.set_eq_iszero_values(trace, j + 2, 12345, 12345)
+    cpu_mod.fill_cycle_row(trace, j + 3, 0x14)
+    cpu_mod.set_eq_iszero_values(trace, j + 3, 12345, 54321 << 200)
+    cpu_mod.fill_cycle_row(trace, j + 4, 0x15)
+    cpu_mod.set_eq_iszero_values(trace, j + 4, 0, 0)
+    cpu_mod.fill_cycle_row(trace, j + 5, 0x15)
+    cpu_mod.set_eq_iszero_values(trace, j + 5, 99 << 128, 0)
+    assert _row_constraint_violations(stark, trace) == []
+
+    # corrupt the EQ result bit: constraints must break
+    bad = trace.copy()
+    c0 = cpu_mod.MEM_CHANNELS[2].value[0]
+    bad[c0, j + 2] = 0
+    assert _row_constraint_violations(stark, bad) != []
+    # claim unequal values equal without a valid certificate
+    bad2 = trace.copy()
+    bad2[c0, j + 3] = 1
+    assert _row_constraint_violations(stark, bad2) != []
+    # wrong NOT output
+    bad3 = trace.copy()
+    bad3[cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 1].value[0],
+         j + 1] ^= np.uint64(1)
+    assert _row_constraint_violations(stark, bad3) != []
+    # wrong PC pushed
+    bad4 = trace.copy()
+    bad4[cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 1].value[0], j] = 78
+    assert _row_constraint_violations(stark, bad4) != []
