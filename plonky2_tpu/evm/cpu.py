@@ -69,6 +69,9 @@ IS_KECCAK_SPONGE = _col()
 # shared "general" columns (union of per-op views, general.rs:87-114)
 NUM_SHARED_COLUMNS = 8
 GENERAL = [_col() for _ in range(NUM_SHARED_COLUMNS)]
+# the jumps view of the general union (general.rs:99-104)
+JUMPS_SHOULD_JUMP = GENERAL[0]
+JUMPS_COND_SUM_PINV = GENERAL[1]
 CLOCK = _col()
 
 
@@ -235,6 +238,34 @@ def set_eq_iszero_values(trace: np.ndarray, j: int, val0: int, val1: int):
         trace[c, j] = d_inv * n_inv % gl.P
 
 
+def fill_jump_row(trace: np.ndarray, j: int, opcode: int, pc: int, dst: int,
+                  cond: int = 1, kernel_mode: bool = True,
+                  context: int = 0) -> None:
+    """Witness a JUMP (0x56) / JUMPI (0x57) row
+    (reference witness/operation.rs jump handling)."""
+    from ..field import goldilocks as gl
+    fill_cycle_row(trace, j, opcode, kernel_mode, context)
+    trace[PROGRAM_COUNTER, j] = pc
+    if opcode == 0x56:
+        cond = 1
+    set_u256_channel(trace, j, 0, dst)
+    set_u256_channel(trace, j, 1, cond)
+    should = int(cond != 0)
+    trace[JUMPS_SHOULD_JUMP, j] = should
+    cond_sum = sum((cond >> (32 * i)) & 0xFFFFFFFF
+                   for i in range(VALUE_LIMBS)) % gl.P
+    trace[JUMPS_COND_SUM_PINV, j] = \
+        pow(cond_sum, gl.P - 2, gl.P) if cond_sum else 0
+    ch = MEM_CHANNELS[NUM_GP_CHANNELS - 1]
+    trace[ch.value[0], j] = 1
+    trace[ch.used, j] = should * (1 - int(kernel_mode))
+    trace[ch.is_read, j] = 1
+    trace[ch.addr_context, j] = context
+    trace[ch.addr_segment, j] = int(Segment.JumpdestBits)
+    trace[ch.addr_virtual, j] = dst
+    trace[PROGRAM_COUNTER, j + 1] = dst if should else pc + 1
+
+
 def generate_bootstrap_kernel(kernel: Kernel, min_rows: int = 8
                               ) -> Tuple[np.ndarray, List[MemoryOp],
                                          List[KeccakSpongeOp]]:
@@ -355,6 +386,7 @@ class CpuStark(Stark):
         self._eval_pc(alg, lv, yield_constr)
         self._eval_not(alg, lv, yield_constr)
         self._eval_eq_iszero(alg, lv, yield_constr)
+        self._eval_jumps(alg, lv, nv, yield_constr)
 
     def _eval_decode(self, alg, lv, yield_constr) -> None:
         """Opcode-bit decoding into instruction flags on cycle rows
@@ -440,6 +472,75 @@ class CpuStark(Stark):
         for l0, l1, pinv in zip(input0, input1, diff_pinv):
             dot = alg.add(dot, alg.mul(alg.sub(l0, l1), pinv))
         yield_constr.constraint(alg.mul(filt, alg.sub(dot, unequal)))
+
+    def _eval_jumps(self, alg, lv, nv, yield_constr) -> None:
+        """JUMP/JUMPI program-counter transitions with a jumpdest-bit memory
+        lookup in user mode, and EXIT_KERNEL restoring (pc, kernel flag)
+        (reference jumps.rs:12-28, 46-140).  JUMP is JUMPI with cond = 1."""
+        one = alg.one()
+        # EXIT_KERNEL
+        ek = alg.mul(lv[IS_CPU_CYCLE], lv[OP["exit_kernel"]])
+        inp = MEM_CHANNELS[0].value
+        yield_constr.constraint_transition(alg.mul(
+            ek, alg.sub(lv[inp[0]], nv[PROGRAM_COUNTER])))
+        yield_constr.constraint_transition(alg.mul(
+            ek, alg.sub(lv[inp[1]], nv[IS_KERNEL_MODE])))
+
+        # JUMP / JUMPI
+        dst = [lv[c] for c in MEM_CHANNELS[0].value]
+        cond = [lv[c] for c in MEM_CHANNELS[1].value]
+        filt = alg.add(lv[OP["jump"]], lv[OP["jumpi"]])
+        should = lv[JUMPS_SHOULD_JUMP]
+        pinv = lv[JUMPS_COND_SUM_PINV]
+        flag_ch = MEM_CHANNELS[NUM_GP_CHANNELS - 1]
+
+        yield_constr.constraint(
+            alg.mul(lv[OP["jump"]], alg.sub(cond[0], one)))
+        for limb in cond[1:]:
+            yield_constr.constraint(alg.mul(lv[OP["jump"]], limb))
+
+        yield_constr.constraint(
+            alg.mul(filt, alg.mul(should, alg.sub(should, one))))
+        cond_sum = alg.zero()
+        for limb in cond:
+            cond_sum = alg.add(cond_sum, limb)
+        yield_constr.constraint(
+            alg.mul(filt, alg.mul(alg.sub(should, one), cond_sum)))
+        yield_constr.constraint(
+            alg.mul(filt, alg.sub(alg.mul(pinv, cond_sum), should)))
+
+        dst_hi = alg.zero()
+        for limb in dst[1:]:
+            dst_hi = alg.add(dst_hi, limb)
+        yield_constr.constraint(alg.mul(filt, alg.mul(should, dst_hi)))
+        yield_constr.constraint(
+            alg.mul(filt, alg.sub(lv[flag_ch.value[0]], one)))
+
+        # jumpdest-bit read: only needed when jumping outside kernel mode
+        expected_used = alg.mul(should, alg.sub(one, lv[IS_KERNEL_MODE]))
+        yield_constr.constraint(
+            alg.mul(filt, alg.sub(lv[flag_ch.used], expected_used)))
+        yield_constr.constraint(
+            alg.mul(filt, alg.sub(lv[flag_ch.is_read], one)))
+        yield_constr.constraint(
+            alg.mul(filt, alg.sub(lv[flag_ch.addr_context], lv[CONTEXT])))
+        yield_constr.constraint(alg.mul(
+            filt, alg.sub(lv[flag_ch.addr_segment],
+                          alg.const(int(Segment.JumpdestBits)))))
+        yield_constr.constraint(
+            alg.mul(filt, alg.sub(lv[flag_ch.addr_virtual], dst[0])))
+
+        for ch in MEM_CHANNELS[2:NUM_GP_CHANNELS - 1]:
+            yield_constr.constraint(alg.mul(filt, lv[ch.used]))
+        yield_constr.constraint(
+            alg.mul(lv[OP["jump"]], lv[MEM_CHANNELS[1].used]))
+
+        fallthrough = alg.add(lv[PROGRAM_COUNTER], one)
+        yield_constr.constraint_transition(alg.mul(
+            filt, alg.mul(alg.sub(should, one),
+                          alg.sub(nv[PROGRAM_COUNTER], fallthrough))))
+        yield_constr.constraint_transition(alg.mul(
+            filt, alg.mul(should, alg.sub(nv[PROGRAM_COUNTER], dst[0]))))
 
     def constraint_degree(self) -> int:
         return 3

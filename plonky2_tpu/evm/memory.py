@@ -41,7 +41,7 @@ NUM_COLUMNS = COUNTER_PERMUTED + 1
 
 
 class Segment(IntEnum):
-    """(reference memory/segments.rs)."""
+    """(reference memory/segments.rs:3-42)."""
     Code = 0
     Stack = 1
     MainMemory = 2
@@ -50,6 +50,16 @@ class Segment(IntEnum):
     GlobalMetadata = 5
     ContextMetadata = 6
     KernelGeneral = 7
+    KernelGeneral2 = 8
+    KernelAccountCode = 9
+    TxnFields = 10
+    TxnData = 11
+    RlpRaw = 12
+    TrieData = 13
+    TrieEncodedChild = 14
+    TrieEncodedChildLen = 15
+    ShiftTable = 16
+    JumpdestBits = 17
 
 
 def ctl_data() -> List[Column]:

@@ -127,7 +127,7 @@ def test_decode_constraints_accept_correct_flags():
     trace, _, _ = cpu_mod.generate_bootstrap_kernel(kernel, min_rows=16)
     # append cycle rows after bootstrap with decoded opcodes
     boot_end = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
-    for j, op in enumerate([0x01, 0x60, 0x8F, 0x56, 0xF9, 0x5B]):
+    for j, op in enumerate([0x01, 0x60, 0x8F, 0x5A, 0x90, 0x5B]):
         cpu_mod.fill_cycle_row(trace, boot_end + j, op, kernel_mode=True)
     assert _row_constraint_violations(stark, trace) == []
 
@@ -207,3 +207,40 @@ def test_simple_logic_and_pc_constraints():
     bad4 = trace.copy()
     bad4[cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 1].value[0], j] = 78
     assert _row_constraint_violations(stark, bad4) != []
+
+
+def test_jump_constraints():
+    kernel = make_kernel()
+    stark = cpu_mod.CpuStark(kernel)
+    trace, _, _ = cpu_mod.generate_bootstrap_kernel(kernel, min_rows=32)
+    j = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
+
+    # JUMP always jumps; JUMPI with zero cond falls through; JUMPI with
+    # nonzero cond (in a high limb!) jumps; user-mode JUMP reads the
+    # jumpdest bit
+    cpu_mod.fill_jump_row(trace, j, 0x56, pc=10, dst=42)
+    cpu_mod.fill_jump_row(trace, j + 2, 0x57, pc=20, dst=7, cond=0)
+    cpu_mod.fill_jump_row(trace, j + 4, 0x57, pc=30, dst=9,
+                          cond=5 << 200)
+    cpu_mod.fill_jump_row(trace, j + 6, 0x56, pc=40, dst=3,
+                          kernel_mode=False)
+    # EXIT_KERNEL restores pc + mode
+    cpu_mod.fill_cycle_row(trace, j + 8, 0xF9, kernel_mode=True)
+    cpu_mod.set_u256_channel(trace, j + 8, 0, 99 | (0 << 32))
+    trace[cpu_mod.PROGRAM_COUNTER, j + 9] = 99
+    trace[cpu_mod.IS_KERNEL_MODE, j + 9] = 0
+    assert _row_constraint_violations(stark, trace) == []
+
+    # wrong next-pc after a taken jump must fail
+    bad = trace.copy()
+    bad[cpu_mod.PROGRAM_COUNTER, j + 1] = 43
+    assert _row_constraint_violations(stark, bad) != []
+    # forged should_jump on a zero condition must fail
+    bad2 = trace.copy()
+    bad2[cpu_mod.JUMPS_SHOULD_JUMP, j + 2] = 1
+    bad2[cpu_mod.PROGRAM_COUNTER, j + 3] = 7
+    assert _row_constraint_violations(stark, bad2) != []
+    # user-mode jump must use the jumpdest-bit channel
+    bad3 = trace.copy()
+    bad3[cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 1].used, j + 6] = 0
+    assert _row_constraint_violations(stark, bad3) != []
