@@ -387,6 +387,9 @@ class CpuStark(Stark):
         self._eval_not(alg, lv, yield_constr)
         self._eval_eq_iszero(alg, lv, yield_constr)
         self._eval_jumps(alg, lv, nv, yield_constr)
+        self._eval_contextops(alg, lv, nv, yield_constr)
+        self._eval_modfp254(alg, lv, yield_constr)
+        self._eval_shift(alg, lv, yield_constr)
 
     def _eval_decode(self, alg, lv, yield_constr) -> None:
         """Opcode-bit decoding into instruction flags on cycle rows
@@ -541,6 +544,63 @@ class CpuStark(Stark):
                           alg.sub(nv[PROGRAM_COUNTER], fallthrough))))
         yield_constr.constraint_transition(alg.mul(
             filt, alg.mul(should, alg.sub(nv[PROGRAM_COUNTER], dst[0]))))
+
+    def _eval_contextops(self, alg, lv, nv, yield_constr) -> None:
+        """GET_CONTEXT pushes the context; SET_CONTEXT pops the next one
+        (reference contextops.rs:10-45)."""
+        get_f = lv[OP["get_context"]]
+        push = MEM_CHANNELS[NUM_GP_CHANNELS - 1].value
+        yield_constr.constraint(
+            alg.mul(get_f, alg.sub(lv[push[0]], lv[CONTEXT])))
+        for c in push[1:]:
+            yield_constr.constraint(alg.mul(get_f, lv[c]))
+        set_f = lv[OP["set_context"]]
+        yield_constr.constraint_transition(alg.mul(
+            set_f, alg.sub(lv[MEM_CHANNELS[0].value[0]], nv[CONTEXT])))
+
+    # bn254 base-field prime as 32-bit limbs (reference modfp254.rs:13-16)
+    _P254_LIMBS = [0xD87CFD47, 0x3C208C16, 0x6871CA8D, 0x97816A91,
+                   0x8181585D, 0xB85045B6, 0xE131A029, 0x30644E72]
+
+    def _eval_modfp254(self, alg, lv, yield_constr) -> None:
+        """ADDFP254/MULFP254/SUBFP254 pin the modulus channel to the bn254
+        prime so the generalized modular path applies
+        (reference modfp254.rs:18-32)."""
+        ops = alg.add(alg.add(lv[OP["addfp254"]], lv[OP["mulfp254"]]),
+                      lv[OP["subfp254"]])
+        filt = alg.mul(lv[IS_CPU_CYCLE], ops)
+        for c, p_limb in zip(MEM_CHANNELS[2].value, self._P254_LIMBS):
+            yield_constr.constraint(
+                alg.mul(filt, alg.sub(lv[c], alg.const(p_limb))))
+
+    def _eval_shift(self, alg, lv, yield_constr) -> None:
+        """SHL/SHR read 2^displacement from the kernel shift table when the
+        displacement fits 32 bits (reference shift.rs:11-60); the product /
+        quotient itself is a cross-table obligation on the arithmetic
+        table."""
+        one = alg.one()
+        is_shift = alg.add(lv[OP["shl"]], lv[OP["shr"]])
+        disp = MEM_CHANNELS[0]
+        two_exp = MEM_CHANNELS[2]
+        hi_zero = lv[two_exp.used]
+        yield_constr.constraint(
+            alg.mul(is_shift, alg.sub(lv[two_exp.is_read], one)))
+        hi_sum = alg.zero()
+        for c in disp.value[1:]:
+            hi_sum = alg.add(hi_sum, lv[c])
+        hi_sum_inv = lv[GENERAL[0]]  # shift view of the general union
+        t = alg.sub(alg.mul(hi_sum, hi_sum_inv), alg.sub(one, hi_zero))
+        yield_constr.constraint(alg.mul(is_shift, t))
+        yield_constr.constraint(
+            alg.mul(is_shift, alg.mul(hi_sum, hi_zero)))
+        yield_constr.constraint(alg.mul(is_shift, lv[two_exp.addr_context]))
+        yield_constr.constraint(alg.mul(
+            is_shift, alg.sub(lv[two_exp.addr_segment],
+                              alg.const(int(Segment.ShiftTable)))))
+        yield_constr.constraint(alg.mul(
+            is_shift, alg.sub(lv[two_exp.addr_virtual], lv[disp.value[0]])))
+        for ch in MEM_CHANNELS[3:NUM_GP_CHANNELS - 1]:
+            yield_constr.constraint(alg.mul(is_shift, lv[ch.used]))
 
     def constraint_degree(self) -> int:
         return 3

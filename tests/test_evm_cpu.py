@@ -244,3 +244,59 @@ def test_jump_constraints():
     bad3 = trace.copy()
     bad3[cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 1].used, j + 6] = 0
     assert _row_constraint_violations(stark, bad3) != []
+
+
+def test_contextops_modfp254_shift_constraints():
+    from plonky2_tpu.evm.memory import Segment
+    kernel = make_kernel()
+    stark = cpu_mod.CpuStark(kernel)
+    trace, _, _ = cpu_mod.generate_bootstrap_kernel(kernel, min_rows=32)
+    j = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
+
+    # GET_CONTEXT pushes context; SET_CONTEXT pops the next context
+    cpu_mod.fill_cycle_row(trace, j, 0xF6, context=5)
+    cpu_mod.set_u256_channel(trace, j, cpu_mod.NUM_GP_CHANNELS - 1, 5)
+    cpu_mod.fill_cycle_row(trace, j + 1, 0xF7, context=5)
+    cpu_mod.set_u256_channel(trace, j + 1, 0, 9)
+    trace[cpu_mod.CONTEXT, j + 2] = 9
+
+    # MULFP254 pins channel 2 to the bn254 prime
+    P254 = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+    cpu_mod.fill_cycle_row(trace, j + 3, 0x0D)
+    cpu_mod.set_u256_channel(trace, j + 3, 2, P254)
+
+    # SHL with small displacement reads 2^d from the shift table
+    cpu_mod.fill_cycle_row(trace, j + 4, 0x1B)
+    cpu_mod.set_u256_channel(trace, j + 4, 0, 3)        # displacement 3
+    ch = cpu_mod.MEM_CHANNELS[2]
+    trace[ch.used, j + 4] = 1                            # hi limbs zero
+    trace[ch.is_read, j + 4] = 1
+    trace[ch.addr_segment, j + 4] = int(Segment.ShiftTable)
+    trace[ch.addr_virtual, j + 4] = 3
+    cpu_mod.set_u256_channel(trace, j + 4, 2, 0)
+    trace[ch.addr_segment, j + 4] = int(Segment.ShiftTable)
+    # re-set value after helper overwrote address fields? set 2^3:
+    for i, c in enumerate(ch.value):
+        trace[c, j + 4] = (8 >> (32 * i)) & 0xFFFFFFFF
+
+    # SHR with huge displacement: hi limbs nonzero, table read disabled
+    from plonky2_tpu.field import goldilocks as gl
+    cpu_mod.fill_cycle_row(trace, j + 5, 0x1C)
+    cpu_mod.set_u256_channel(trace, j + 5, 0, 1 << 100)
+    hi_sum = 1 << 4  # limb 3 holds 2^4 from 1<<100
+    trace[cpu_mod.GENERAL[0], j + 5] = pow(hi_sum, gl.P - 2, gl.P)
+    trace[cpu_mod.MEM_CHANNELS[2].used, j + 5] = 0
+    trace[cpu_mod.MEM_CHANNELS[2].is_read, j + 5] = 1
+    # the address columns are constrained even when the channel is unused
+    trace[cpu_mod.MEM_CHANNELS[2].addr_segment, j + 5] = \
+        int(Segment.ShiftTable)
+    assert _row_constraint_violations(stark, trace) == []
+
+    # wrong modulus limb must fail
+    bad = trace.copy()
+    bad[cpu_mod.MEM_CHANNELS[2].value[0], j + 3] ^= np.uint64(1)
+    assert _row_constraint_violations(stark, bad) != []
+    # claiming a small displacement when the hi limbs are nonzero must fail
+    bad2 = trace.copy()
+    bad2[cpu_mod.MEM_CHANNELS[2].used, j + 5] = 1
+    assert _row_constraint_violations(stark, bad2) != []
