@@ -22,6 +22,7 @@ from typing import List, Tuple
 
 import numpy as np
 
+from ..field import goldilocks as gl
 from ..stark.stark import Stark
 from .cross_table_lookup import Column
 from .kernel.assembler import Kernel
@@ -390,6 +391,7 @@ class CpuStark(Stark):
         self._eval_contextops(alg, lv, nv, yield_constr)
         self._eval_modfp254(alg, lv, yield_constr)
         self._eval_shift(alg, lv, yield_constr)
+        self._eval_dup_swap(alg, lv, yield_constr)
 
     def _eval_decode(self, alg, lv, yield_constr) -> None:
         """Opcode-bit decoding into instruction flags on cycle rows
@@ -601,6 +603,62 @@ class CpuStark(Stark):
             is_shift, alg.sub(lv[two_exp.addr_virtual], lv[disp.value[0]])))
         for ch in MEM_CHANNELS[3:NUM_GP_CHANNELS - 1]:
             yield_constr.constraint(alg.mul(is_shift, lv[ch.used]))
+
+    def _constrain_stack_channel(self, alg, lv, yield_constr, filt, channel,
+                                 is_read: bool, offset) -> None:
+        """Channel reads/writes the stack at depth `offset` from the top
+        (reference dup_swap.rs:36-57)."""
+        one = alg.one()
+        yield_constr.constraint(alg.mul(filt, alg.sub(lv[channel.used], one)))
+        want_read = one if is_read else alg.zero()
+        yield_constr.constraint(
+            alg.mul(filt, alg.sub(lv[channel.is_read], want_read)))
+        yield_constr.constraint(
+            alg.mul(filt, alg.sub(lv[channel.addr_context], lv[CONTEXT])))
+        yield_constr.constraint(alg.mul(
+            filt, alg.sub(lv[channel.addr_segment],
+                          alg.const(int(Segment.Stack)))))
+        addr = alg.sub(alg.sub(lv[STACK_LEN], one), offset)
+        yield_constr.constraint(
+            alg.mul(filt, alg.sub(lv[channel.addr_virtual], addr)))
+
+    def _eval_dup_swap(self, alg, lv, yield_constr) -> None:
+        """DUPn copies stack[n] to a new top; SWAPn exchanges stack[0] and
+        stack[n+1]; n comes from the low opcode bits
+        (reference dup_swap.rs:95-215)."""
+        n = alg.zero()
+        for i in range(4):
+            n = alg.add(n, alg.mul_const(lv[OPCODE_BITS[i]], 1 << i))
+
+        # DUP
+        filt = alg.mul(lv[IS_CPU_CYCLE], lv[OP["dup"]])
+        inp = MEM_CHANNELS[0]
+        out = MEM_CHANNELS[NUM_GP_CHANNELS - 1]
+        for a, b in zip(inp.value, out.value):
+            yield_constr.constraint(alg.mul(filt, alg.sub(lv[a], lv[b])))
+        self._constrain_stack_channel(alg, lv, yield_constr, filt, inp,
+                                      True, n)
+        self._constrain_stack_channel(alg, lv, yield_constr, filt, out,
+                                      False, alg.const(gl.P - 1))
+
+        # SWAP
+        filt = alg.mul(lv[IS_CPU_CYCLE], lv[OP["swap"]])
+        n_plus_one = alg.add(n, alg.one())
+        in1, in2 = MEM_CHANNELS[0], MEM_CHANNELS[1]
+        out1 = MEM_CHANNELS[NUM_GP_CHANNELS - 2]
+        out2 = MEM_CHANNELS[NUM_GP_CHANNELS - 1]
+        for a, b in zip(in1.value, out1.value):
+            yield_constr.constraint(alg.mul(filt, alg.sub(lv[a], lv[b])))
+        for a, b in zip(in2.value, out2.value):
+            yield_constr.constraint(alg.mul(filt, alg.sub(lv[a], lv[b])))
+        self._constrain_stack_channel(alg, lv, yield_constr, filt, in1,
+                                      True, alg.zero())
+        self._constrain_stack_channel(alg, lv, yield_constr, filt, in2,
+                                      True, n_plus_one)
+        self._constrain_stack_channel(alg, lv, yield_constr, filt, out1,
+                                      False, n_plus_one)
+        self._constrain_stack_channel(alg, lv, yield_constr, filt, out2,
+                                      False, alg.zero())
 
     def constraint_degree(self) -> int:
         return 3

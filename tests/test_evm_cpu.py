@@ -127,7 +127,7 @@ def test_decode_constraints_accept_correct_flags():
     trace, _, _ = cpu_mod.generate_bootstrap_kernel(kernel, min_rows=16)
     # append cycle rows after bootstrap with decoded opcodes
     boot_end = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
-    for j, op in enumerate([0x01, 0x60, 0x8F, 0x5A, 0x90, 0x5B]):
+    for j, op in enumerate([0x01, 0x60, 0x02, 0x5A, 0x16, 0x5B]):
         cpu_mod.fill_cycle_row(trace, boot_end + j, op, kernel_mode=True)
     assert _row_constraint_violations(stark, trace) == []
 
@@ -299,4 +299,51 @@ def test_contextops_modfp254_shift_constraints():
     # claiming a small displacement when the hi limbs are nonzero must fail
     bad2 = trace.copy()
     bad2[cpu_mod.MEM_CHANNELS[2].used, j + 5] = 1
+    assert _row_constraint_violations(stark, bad2) != []
+
+
+def test_dup_swap_constraints():
+    from plonky2_tpu.evm.memory import Segment
+    kernel = make_kernel()
+    stark = cpu_mod.CpuStark(kernel)
+    trace, _, _ = cpu_mod.generate_bootstrap_kernel(kernel, min_rows=32)
+    j = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
+    P = 0xFFFFFFFF00000001
+
+    def stack_channel(row, ch, is_read, depth, value, stack_len):
+        trace[ch.used, row] = 1
+        trace[ch.is_read, row] = int(is_read)
+        trace[ch.addr_segment, row] = int(Segment.Stack)
+        trace[ch.addr_virtual, row] = (stack_len - 1 - depth) % P
+        for i, c in enumerate(ch.value):
+            trace[c, row] = (value >> (32 * i)) & 0xFFFFFFFF
+
+    # DUP3 (0x82): copy stack[2] to a new top
+    cpu_mod.fill_cycle_row(trace, j, 0x82)
+    trace[cpu_mod.STACK_LEN, j] = 10
+    v = 0xDEADBEEF << 64
+    stack_channel(j, cpu_mod.MEM_CHANNELS[0], True, 2, v, 10)
+    stack_channel(j, cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 1],
+                  False, -1, v, 10)
+
+    # SWAP2 (0x91, n=1): exchange stack[0] and stack[n+1=2]
+    cpu_mod.fill_cycle_row(trace, j + 1, 0x91)
+    trace[cpu_mod.STACK_LEN, j + 1] = 8
+    a, b = 111, 222 << 128
+    stack_channel(j + 1, cpu_mod.MEM_CHANNELS[0], True, 0, a, 8)
+    stack_channel(j + 1, cpu_mod.MEM_CHANNELS[1], True, 2, b, 8)
+    stack_channel(j + 1, cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 2],
+                  False, 2, a, 8)
+    stack_channel(j + 1, cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 1],
+                  False, 0, b, 8)
+    assert _row_constraint_violations(stark, trace) == []
+
+    # copying the wrong stack slot must fail
+    bad = trace.copy()
+    bad[cpu_mod.MEM_CHANNELS[0].addr_virtual, j] = 10 - 1 - 4
+    assert _row_constraint_violations(stark, bad) != []
+    # swapped values must actually swap
+    bad2 = trace.copy()
+    bad2[cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 1].value[0],
+         j + 1] = 112
     assert _row_constraint_violations(stark, bad2) != []
