@@ -392,6 +392,7 @@ class CpuStark(Stark):
         self._eval_modfp254(alg, lv, yield_constr)
         self._eval_shift(alg, lv, yield_constr)
         self._eval_dup_swap(alg, lv, yield_constr)
+        self._eval_memio(alg, lv, yield_constr)
 
     def _eval_decode(self, alg, lv, yield_constr) -> None:
         """Opcode-bit decoding into instruction flags on cycle rows
@@ -659,6 +660,35 @@ class CpuStark(Stark):
                                       False, n_plus_one)
         self._constrain_stack_channel(alg, lv, yield_constr, filt, out2,
                                       False, alg.zero())
+
+    def _eval_memio(self, alg, lv, yield_constr) -> None:
+        """MLOAD_GENERAL/MSTORE_GENERAL: the address triple comes from the
+        first three channels; the load/store channel reads or writes it
+        (reference memio.rs:10-115)."""
+        one = alg.one()
+        addr = [lv[MEM_CHANNELS[i].value[0]] for i in range(3)]
+
+        filt = lv[OP["mload_general"]]
+        load = MEM_CHANNELS[3]
+        push = MEM_CHANNELS[NUM_GP_CHANNELS - 1]
+        yield_constr.constraint(alg.mul(filt, alg.sub(lv[load.used], one)))
+        yield_constr.constraint(alg.mul(filt, alg.sub(lv[load.is_read], one)))
+        for c, a in zip((load.addr_context, load.addr_segment,
+                         load.addr_virtual), addr):
+            yield_constr.constraint(alg.mul(filt, alg.sub(lv[c], a)))
+        for lc, pc in zip(load.value, push.value):
+            yield_constr.constraint(alg.mul(filt, alg.sub(lv[lc], lv[pc])))
+
+        filt = lv[OP["mstore_general"]]
+        value = MEM_CHANNELS[3]
+        store = MEM_CHANNELS[4]
+        yield_constr.constraint(alg.mul(filt, alg.sub(lv[store.used], one)))
+        yield_constr.constraint(alg.mul(filt, lv[store.is_read]))
+        for c, a in zip((store.addr_context, store.addr_segment,
+                         store.addr_virtual), addr):
+            yield_constr.constraint(alg.mul(filt, alg.sub(lv[c], a)))
+        for vc, sc in zip(value.value, store.value):
+            yield_constr.constraint(alg.mul(filt, alg.sub(lv[vc], lv[sc])))
 
     def constraint_degree(self) -> int:
         return 3

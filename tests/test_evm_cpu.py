@@ -347,3 +347,50 @@ def test_dup_swap_constraints():
     bad2[cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 1].value[0],
          j + 1] = 112
     assert _row_constraint_violations(stark, bad2) != []
+
+
+def test_memio_constraints():
+    kernel = make_kernel()
+    stark = cpu_mod.CpuStark(kernel)
+    trace, _, _ = cpu_mod.generate_bootstrap_kernel(kernel, min_rows=32)
+    j = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
+    v = 0xABCDEF << 96
+
+    # MLOAD_GENERAL: address triple in ch0-2, loaded value in ch3 == pushed
+    cpu_mod.fill_cycle_row(trace, j, 0xFB)
+    for i, part in enumerate([3, 7, 140]):
+        cpu_mod.set_u256_channel(trace, j, i, part)
+    ld = cpu_mod.MEM_CHANNELS[3]
+    trace[ld.used, j] = 1
+    trace[ld.is_read, j] = 1
+    trace[ld.addr_context, j] = 3
+    trace[ld.addr_segment, j] = 7
+    trace[ld.addr_virtual, j] = 140
+    for i, c in enumerate(ld.value):
+        trace[c, j] = (v >> (32 * i)) & 0xFFFFFFFF
+    for i, c in enumerate(cpu_mod.MEM_CHANNELS[4].value):
+        trace[c, j] = (v >> (32 * i)) & 0xFFFFFFFF
+
+    # MSTORE_GENERAL: value in ch3 written through ch4
+    cpu_mod.fill_cycle_row(trace, j + 1, 0xFC)
+    for i, part in enumerate([0, 2, 64]):
+        cpu_mod.set_u256_channel(trace, j + 1, i, part)
+    cpu_mod.set_u256_channel(trace, j + 1, 3, v + 1)
+    st = cpu_mod.MEM_CHANNELS[4]
+    trace[st.used, j + 1] = 1
+    trace[st.is_read, j + 1] = 0
+    trace[st.addr_context, j + 1] = 0
+    trace[st.addr_segment, j + 1] = 2
+    trace[st.addr_virtual, j + 1] = 64
+    for i, c in enumerate(st.value):
+        trace[c, j + 1] = ((v + 1) >> (32 * i)) & 0xFFFFFFFF
+    assert _row_constraint_violations(stark, trace) == []
+
+    # load pushing a different value than it read must fail
+    bad = trace.copy()
+    bad[cpu_mod.MEM_CHANNELS[4].value[0], j] ^= np.uint64(1)
+    assert _row_constraint_violations(stark, bad) != []
+    # store addressed at the wrong virtual must fail
+    bad2 = trace.copy()
+    bad2[cpu_mod.MEM_CHANNELS[4].addr_virtual, j + 1] = 65
+    assert _row_constraint_violations(stark, bad2) != []
