@@ -393,6 +393,7 @@ class CpuStark(Stark):
         self._eval_shift(alg, lv, yield_constr)
         self._eval_dup_swap(alg, lv, yield_constr)
         self._eval_memio(alg, lv, yield_constr)
+        self._eval_syscalls(alg, lv, nv, yield_constr)
 
     def _eval_decode(self, alg, lv, yield_constr) -> None:
         """Opcode-bit decoding into instruction flags on cycle rows
@@ -689,6 +690,59 @@ class CpuStark(Stark):
             yield_constr.constraint(alg.mul(filt, alg.sub(lv[c], a)))
         for vc, sc in zip(value.value, store.value):
             yield_constr.constraint(alg.mul(filt, alg.sub(lv[vc], lv[sc])))
+
+    def _eval_syscalls(self, alg, lv, nv, yield_constr) -> None:
+        """SYSCALL reads the 3-byte handler address from the kernel's
+        syscall jumptable, jumps there in kernel mode, and pushes the return
+        (pc+1, kernel flag) (reference syscalls.rs:21-82).  If the kernel
+        defines no jumptable, the syscall flag is pinned to zero."""
+        from .kernel.assembler import BYTES_PER_OFFSET
+        one = alg.one()
+        if "syscall_jumptable" not in self.kernel.global_labels:
+            yield_constr.constraint(lv[OP["syscall"]])
+            return
+        filt = alg.mul(lv[IS_CPU_CYCLE], lv[OP["syscall"]])
+        jumptable = self.kernel.global_labels["syscall_jumptable"]
+        opcode = alg.zero()
+        for i in range(8):
+            opcode = alg.add(opcode, alg.mul_const(lv[OPCODE_BITS[i]], 1 << i))
+        addr_start = alg.add_const(
+            alg.mul_const(opcode, BYTES_PER_OFFSET), jumptable)
+        for i in range(BYTES_PER_OFFSET):
+            ch = MEM_CHANNELS[i]
+            yield_constr.constraint(alg.mul(filt, alg.sub(lv[ch.used], one)))
+            yield_constr.constraint(
+                alg.mul(filt, alg.sub(lv[ch.is_read], one)))
+            yield_constr.constraint(alg.mul(filt, lv[ch.addr_context]))
+            yield_constr.constraint(alg.mul(
+                filt, alg.sub(lv[ch.addr_segment],
+                              alg.const(int(Segment.Code)))))
+            yield_constr.constraint(alg.mul(
+                filt, alg.sub(lv[ch.addr_virtual],
+                              alg.add_const(addr_start, i))))
+        for ch in MEM_CHANNELS[BYTES_PER_OFFSET:NUM_GP_CHANNELS - 1]:
+            yield_constr.constraint(alg.mul(filt, lv[ch.used]))
+
+        # handler address bytes are big-endian in code memory
+        target = alg.zero()
+        for i in range(BYTES_PER_OFFSET):
+            target = alg.add(alg.mul_const(target, 256),
+                             lv[MEM_CHANNELS[i].value[0]])
+        yield_constr.constraint_transition(
+            alg.mul(filt, alg.sub(nv[PROGRAM_COUNTER], target)))
+        yield_constr.constraint_transition(
+            alg.mul(filt, alg.sub(nv[IS_KERNEL_MODE], one)))
+        yield_constr.constraint_transition(
+            alg.mul(filt, alg.sub(nv[CONTEXT], lv[CONTEXT])))
+
+        output = MEM_CHANNELS[NUM_GP_CHANNELS - 1].value
+        yield_constr.constraint(alg.mul(
+            filt, alg.sub(lv[output[0]],
+                          alg.add(lv[PROGRAM_COUNTER], one))))
+        yield_constr.constraint(
+            alg.mul(filt, alg.sub(lv[output[1]], lv[IS_KERNEL_MODE])))
+        for c in output[2:]:
+            yield_constr.constraint(alg.mul(filt, lv[c]))
 
     def constraint_degree(self) -> int:
         return 3

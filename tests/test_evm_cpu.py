@@ -394,3 +394,53 @@ def test_memio_constraints():
     bad2 = trace.copy()
     bad2[cpu_mod.MEM_CHANNELS[4].addr_virtual, j + 1] = 65
     assert _row_constraint_violations(stark, bad2) != []
+
+
+def test_syscall_constraints():
+    from plonky2_tpu.evm.memory import Segment
+    src = """
+GLOBAL main:
+    STOP
+GLOBAL handler:
+    JUMPDEST
+    STOP
+GLOBAL syscall_jumptable:
+    JUMPTABLE handler, handler, handler, handler
+"""
+    kernel = assemble([parse(src)], {})
+    jt = kernel.global_labels["syscall_jumptable"]
+    stark = cpu_mod.CpuStark(kernel)
+    trace, _, _ = cpu_mod.generate_bootstrap_kernel(kernel, min_rows=32)
+    j = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
+
+    # a syscall row for opcode 0x02 in user mode, handler address 0x000007
+    opcode = 0x02
+    cpu_mod.fill_cycle_row(trace, j, opcode, kernel_mode=False)
+    for name in cpu_mod.OP:  # syscall rows raise only the syscall flag
+        trace[cpu_mod.OP[name], j] = 0
+    trace[cpu_mod.OP["syscall"], j] = 1
+    trace[cpu_mod.PROGRAM_COUNTER, j] = 123
+    handler = kernel.global_labels["handler"]
+    hbytes = handler.to_bytes(3, "big")
+    for i in range(3):
+        ch = cpu_mod.MEM_CHANNELS[i]
+        trace[ch.used, j] = 1
+        trace[ch.is_read, j] = 1
+        trace[ch.addr_segment, j] = int(Segment.Code)
+        trace[ch.addr_virtual, j] = jt + 3 * opcode + i
+        trace[ch.value[0], j] = hbytes[i]
+    out = cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 1]
+    trace[out.value[0], j] = 124     # pc + 1
+    trace[out.value[1], j] = 0       # was user mode
+    trace[cpu_mod.PROGRAM_COUNTER, j + 1] = handler
+    trace[cpu_mod.IS_KERNEL_MODE, j + 1] = 1
+    assert _row_constraint_violations(stark, trace) == []
+
+    # jumping to a forged handler must fail
+    bad = trace.copy()
+    bad[cpu_mod.PROGRAM_COUNTER, j + 1] = handler + 1
+    assert _row_constraint_violations(stark, bad) != []
+    # reading the jumptable slot of a different opcode must fail
+    bad2 = trace.copy()
+    bad2[cpu_mod.MEM_CHANNELS[0].addr_virtual, j] = jt + 3 * (opcode + 1)
+    assert _row_constraint_violations(stark, bad2) != []
