@@ -202,14 +202,21 @@ def decode_flags(opcode: int, kernel_mode: bool) -> dict:
 
 
 def fill_cycle_row(trace: np.ndarray, j: int, opcode: int,
-                   kernel_mode: bool = True, context: int = 0) -> None:
+                   kernel_mode: bool = True, context: int = 0,
+                   pc: int = 0) -> None:
     """Populate the decode-related columns of a cycle row (witness side of
-    the decode constraints; full execution semantics land with the stack /
-    jump / syscall constraint stages)."""
+    the decode constraints; full execution semantics land with the stack
+    constraint stage).  Also seeds the next row's pc/privilege with the
+    native-instruction defaults (pc+1, same mode); callers overwrite them
+    for jumps/syscalls."""
     trace[IS_CPU_CYCLE, j] = 1
     trace[IS_KERNEL_MODE, j] = int(kernel_mode)
     trace[CONTEXT, j] = context
     trace[CODE_CONTEXT, j] = 0 if kernel_mode else context
+    trace[PROGRAM_COUNTER, j] = pc
+    if j + 1 < trace.shape[1]:
+        trace[PROGRAM_COUNTER, j + 1] = pc + 1
+        trace[IS_KERNEL_MODE, j + 1] = int(kernel_mode)
     for i, b in enumerate(OPCODE_BITS):
         trace[b, j] = (opcode >> i) & 1
     for name, v in decode_flags(opcode, kernel_mode).items():
@@ -245,8 +252,7 @@ def fill_jump_row(trace: np.ndarray, j: int, opcode: int, pc: int, dst: int,
     """Witness a JUMP (0x56) / JUMPI (0x57) row
     (reference witness/operation.rs jump handling)."""
     from ..field import goldilocks as gl
-    fill_cycle_row(trace, j, opcode, kernel_mode, context)
-    trace[PROGRAM_COUNTER, j] = pc
+    fill_cycle_row(trace, j, opcode, kernel_mode, context, pc=pc)
     if opcode == 0x56:
         cond = 1
     set_u256_channel(trace, j, 0, dst)
@@ -264,7 +270,8 @@ def fill_jump_row(trace: np.ndarray, j: int, opcode: int, pc: int, dst: int,
     trace[ch.addr_context, j] = context
     trace[ch.addr_segment, j] = int(Segment.JumpdestBits)
     trace[ch.addr_virtual, j] = dst
-    trace[PROGRAM_COUNTER, j + 1] = dst if should else pc + 1
+    if j + 1 < trace.shape[1]:
+        trace[PROGRAM_COUNTER, j + 1] = dst if should else pc + 1
 
 
 def generate_bootstrap_kernel(kernel: Kernel, min_rows: int = 8
@@ -394,6 +401,7 @@ class CpuStark(Stark):
         self._eval_dup_swap(alg, lv, yield_constr)
         self._eval_memio(alg, lv, yield_constr)
         self._eval_syscalls(alg, lv, nv, yield_constr)
+        self._eval_control_flow(alg, lv, nv, yield_constr)
 
     def _eval_decode(self, alg, lv, yield_constr) -> None:
         """Opcode-bit decoding into instruction flags on cycle rows
@@ -743,6 +751,51 @@ class CpuStark(Stark):
             alg.mul(filt, alg.sub(lv[output[1]], lv[IS_KERNEL_MODE])))
         for c in output[2:]:
             yield_constr.constraint(alg.mul(filt, lv[c]))
+
+    # ops whose next pc is simply pc+1 (reference control_flow.rs:10-48)
+    _NATIVE_OPS = ["add", "mul", "sub", "div", "mod_", "addmod", "mulmod",
+                   "addfp254", "mulfp254", "subfp254", "lt", "gt", "eq",
+                   "iszero", "and_", "or_", "xor", "not_", "shl", "shr",
+                   "keccak_general", "prover_input", "pop", "pc", "gas",
+                   "jumpdest", "dup", "swap", "get_context", "set_context",
+                   "consume_gas", "mload_general", "mstore_general"]
+
+    def _eval_control_flow(self, alg, lv, nv, yield_constr) -> None:
+        """Native instructions advance pc by one and keep the privilege
+        flag; the first cycle row starts at `main` in kernel mode with an
+        empty stack (reference control_flow.rs:67-107).  The halt-loop and
+        cycles-until-the-end endgame constraints activate only for kernels
+        that define main/halt_pc0/halt_pc1 — i.e. once full execution
+        witnesses exist; bootstrap-only proofs stay valid meanwhile."""
+        one = alg.one()
+        native = alg.zero()
+        for name in self._NATIVE_OPS:
+            native = alg.add(native, lv[OP[name]])
+        cyc = lv[IS_CPU_CYCLE]
+        yield_constr.constraint_transition(alg.mul(
+            alg.mul(cyc, native),
+            alg.sub(alg.add(lv[PROGRAM_COUNTER], one), nv[PROGRAM_COUNTER])))
+        yield_constr.constraint_transition(alg.mul(
+            alg.mul(cyc, native),
+            alg.sub(lv[IS_KERNEL_MODE], nv[IS_KERNEL_MODE])))
+
+        labels = self.kernel.global_labels
+        if all(k in labels for k in ("main", "halt_pc0", "halt_pc1")):
+            yield_constr.constraint_transition(
+                alg.mul(cyc, alg.sub(nv[IS_CPU_CYCLE], one)))
+            last_noncpu = alg.mul(alg.sub(cyc, one), nv[IS_CPU_CYCLE])
+            yield_constr.constraint_transition(alg.mul(
+                last_noncpu, alg.sub(nv[PROGRAM_COUNTER],
+                                     alg.const(labels["main"]))))
+            yield_constr.constraint_transition(alg.mul(
+                last_noncpu, alg.sub(nv[IS_KERNEL_MODE], one)))
+            yield_constr.constraint_transition(
+                alg.mul(last_noncpu, nv[STACK_LEN]))
+            yield_constr.constraint_last_row(alg.sub(cyc, one))
+            yield_constr.constraint_last_row(alg.mul(
+                alg.sub(lv[PROGRAM_COUNTER], alg.const(labels["halt_pc0"])),
+                alg.sub(lv[PROGRAM_COUNTER], alg.const(labels["halt_pc1"]))))
+            yield_constr.constraint_last_row(alg.sub(lv[IS_KERNEL_MODE], one))
 
     def constraint_degree(self) -> int:
         return 3

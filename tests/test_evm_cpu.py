@@ -128,7 +128,8 @@ def test_decode_constraints_accept_correct_flags():
     # append cycle rows after bootstrap with decoded opcodes
     boot_end = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
     for j, op in enumerate([0x01, 0x60, 0x02, 0x5A, 0x16, 0x5B]):
-        cpu_mod.fill_cycle_row(trace, boot_end + j, op, kernel_mode=True)
+        cpu_mod.fill_cycle_row(trace, boot_end + j, op, kernel_mode=True,
+                               pc=j)
     assert _row_constraint_violations(stark, trace) == []
 
 
@@ -166,26 +167,25 @@ def test_simple_logic_and_pc_constraints():
     j = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
 
     # GETPC: push_value[0] == program_counter
-    cpu_mod.fill_cycle_row(trace, j, 0x58)
-    trace[cpu_mod.PROGRAM_COUNTER, j] = 77
+    cpu_mod.fill_cycle_row(trace, j, 0x58, pc=77)
     cpu_mod.set_u256_channel(trace, j, cpu_mod.NUM_GP_CHANNELS - 1, 77)
 
     # NOT: out = ~in per 32-bit limb
     v = 0x1234_5678_9ABC_DEF0_0F0F * 7919
-    cpu_mod.fill_cycle_row(trace, j + 1, 0x19)
+    cpu_mod.fill_cycle_row(trace, j + 1, 0x19, pc=78)
     cpu_mod.set_u256_channel(trace, j + 1, 0, v)
     mask = (1 << 256) - 1
     cpu_mod.set_u256_channel(trace, j + 1, cpu_mod.NUM_GP_CHANNELS - 1,
                              v ^ mask)
 
     # EQ equal, EQ unequal, ISZERO zero, ISZERO nonzero
-    cpu_mod.fill_cycle_row(trace, j + 2, 0x14)
+    cpu_mod.fill_cycle_row(trace, j + 2, 0x14, pc=79)
     cpu_mod.set_eq_iszero_values(trace, j + 2, 12345, 12345)
-    cpu_mod.fill_cycle_row(trace, j + 3, 0x14)
+    cpu_mod.fill_cycle_row(trace, j + 3, 0x14, pc=80)
     cpu_mod.set_eq_iszero_values(trace, j + 3, 12345, 54321 << 200)
-    cpu_mod.fill_cycle_row(trace, j + 4, 0x15)
+    cpu_mod.fill_cycle_row(trace, j + 4, 0x15, pc=81)
     cpu_mod.set_eq_iszero_values(trace, j + 4, 0, 0)
-    cpu_mod.fill_cycle_row(trace, j + 5, 0x15)
+    cpu_mod.fill_cycle_row(trace, j + 5, 0x15, pc=82)
     cpu_mod.set_eq_iszero_values(trace, j + 5, 99 << 128, 0)
     assert _row_constraint_violations(stark, trace) == []
 
@@ -225,7 +225,7 @@ def test_jump_constraints():
     cpu_mod.fill_jump_row(trace, j + 6, 0x56, pc=40, dst=3,
                           kernel_mode=False)
     # EXIT_KERNEL restores pc + mode
-    cpu_mod.fill_cycle_row(trace, j + 8, 0xF9, kernel_mode=True)
+    cpu_mod.fill_cycle_row(trace, j + 8, 0xF9, kernel_mode=True, pc=50)
     cpu_mod.set_u256_channel(trace, j + 8, 0, 99 | (0 << 32))
     trace[cpu_mod.PROGRAM_COUNTER, j + 9] = 99
     trace[cpu_mod.IS_KERNEL_MODE, j + 9] = 0
@@ -254,19 +254,19 @@ def test_contextops_modfp254_shift_constraints():
     j = -(-len(kernel.code) // cpu_mod.NUM_GP_CHANNELS) + 1
 
     # GET_CONTEXT pushes context; SET_CONTEXT pops the next context
-    cpu_mod.fill_cycle_row(trace, j, 0xF6, context=5)
+    cpu_mod.fill_cycle_row(trace, j, 0xF6, context=5, pc=10)
     cpu_mod.set_u256_channel(trace, j, cpu_mod.NUM_GP_CHANNELS - 1, 5)
-    cpu_mod.fill_cycle_row(trace, j + 1, 0xF7, context=5)
+    cpu_mod.fill_cycle_row(trace, j + 1, 0xF7, context=5, pc=11)
     cpu_mod.set_u256_channel(trace, j + 1, 0, 9)
     trace[cpu_mod.CONTEXT, j + 2] = 9
 
     # MULFP254 pins channel 2 to the bn254 prime
     P254 = 21888242871839275222246405745257275088696311157297823662689037894645226208583
-    cpu_mod.fill_cycle_row(trace, j + 3, 0x0D)
+    cpu_mod.fill_cycle_row(trace, j + 3, 0x0D, pc=12)
     cpu_mod.set_u256_channel(trace, j + 3, 2, P254)
 
     # SHL with small displacement reads 2^d from the shift table
-    cpu_mod.fill_cycle_row(trace, j + 4, 0x1B)
+    cpu_mod.fill_cycle_row(trace, j + 4, 0x1B, pc=13)
     cpu_mod.set_u256_channel(trace, j + 4, 0, 3)        # displacement 3
     ch = cpu_mod.MEM_CHANNELS[2]
     trace[ch.used, j + 4] = 1                            # hi limbs zero
@@ -281,7 +281,7 @@ def test_contextops_modfp254_shift_constraints():
 
     # SHR with huge displacement: hi limbs nonzero, table read disabled
     from plonky2_tpu.field import goldilocks as gl
-    cpu_mod.fill_cycle_row(trace, j + 5, 0x1C)
+    cpu_mod.fill_cycle_row(trace, j + 5, 0x1C, pc=14)
     cpu_mod.set_u256_channel(trace, j + 5, 0, 1 << 100)
     hi_sum = 1 << 4  # limb 3 holds 2^4 from 1<<100
     trace[cpu_mod.GENERAL[0], j + 5] = pow(hi_sum, gl.P - 2, gl.P)
@@ -319,7 +319,7 @@ def test_dup_swap_constraints():
             trace[c, row] = (value >> (32 * i)) & 0xFFFFFFFF
 
     # DUP3 (0x82): copy stack[2] to a new top
-    cpu_mod.fill_cycle_row(trace, j, 0x82)
+    cpu_mod.fill_cycle_row(trace, j, 0x82, pc=20)
     trace[cpu_mod.STACK_LEN, j] = 10
     v = 0xDEADBEEF << 64
     stack_channel(j, cpu_mod.MEM_CHANNELS[0], True, 2, v, 10)
@@ -327,7 +327,7 @@ def test_dup_swap_constraints():
                   False, -1, v, 10)
 
     # SWAP2 (0x91, n=1): exchange stack[0] and stack[n+1=2]
-    cpu_mod.fill_cycle_row(trace, j + 1, 0x91)
+    cpu_mod.fill_cycle_row(trace, j + 1, 0x91, pc=21)
     trace[cpu_mod.STACK_LEN, j + 1] = 8
     a, b = 111, 222 << 128
     stack_channel(j + 1, cpu_mod.MEM_CHANNELS[0], True, 0, a, 8)
@@ -357,7 +357,7 @@ def test_memio_constraints():
     v = 0xABCDEF << 96
 
     # MLOAD_GENERAL: address triple in ch0-2, loaded value in ch3 == pushed
-    cpu_mod.fill_cycle_row(trace, j, 0xFB)
+    cpu_mod.fill_cycle_row(trace, j, 0xFB, pc=30)
     for i, part in enumerate([3, 7, 140]):
         cpu_mod.set_u256_channel(trace, j, i, part)
     ld = cpu_mod.MEM_CHANNELS[3]
@@ -372,7 +372,7 @@ def test_memio_constraints():
         trace[c, j] = (v >> (32 * i)) & 0xFFFFFFFF
 
     # MSTORE_GENERAL: value in ch3 written through ch4
-    cpu_mod.fill_cycle_row(trace, j + 1, 0xFC)
+    cpu_mod.fill_cycle_row(trace, j + 1, 0xFC, pc=31)
     for i, part in enumerate([0, 2, 64]):
         cpu_mod.set_u256_channel(trace, j + 1, i, part)
     cpu_mod.set_u256_channel(trace, j + 1, 3, v + 1)
