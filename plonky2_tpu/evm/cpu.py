@@ -219,8 +219,60 @@ def fill_cycle_row(trace: np.ndarray, j: int, opcode: int,
         trace[IS_KERNEL_MODE, j + 1] = int(kernel_mode)
     for i, b in enumerate(OPCODE_BITS):
         trace[b, j] = (opcode >> i) & 1
-    for name, v in decode_flags(opcode, kernel_mode).items():
+    flags = decode_flags(opcode, kernel_mode)
+    for name, v in flags.items():
         trace[OP[name], j] = v
+    set_stack_bounds_aux(trace, j)
+
+
+def set_stack_bounds_aux(trace: np.ndarray, j: int) -> None:
+    """Witness stack_len_bounds_aux (reference stack_bounds.rs:38-59).
+    Call after the flags and stack_len of row j are final."""
+    check_under = int(trace[OP["pop"], j])
+    check_over = int(trace[OP["pc"], j]) + int(trace[OP["dup"], j])
+    no_check = 1 - check_under - check_over
+    disallowed = (check_over * 1024 - no_check) % gl.P
+    diff = (int(trace[STACK_LEN, j]) - disallowed) % gl.P
+    user_mode = 1 - int(trace[IS_KERNEL_MODE, j])
+    rhs = user_mode + check_under
+    if diff == 0:
+        assert rhs == 0, "stack length at a disallowed value"
+        trace[STACK_LEN_BOUNDS_AUX, j] = 0
+    else:
+        trace[STACK_LEN_BOUNDS_AUX, j] = pow(diff, gl.P - 2, gl.P) * rhs % gl.P
+
+
+def wire_stack_op(trace: np.ndarray, j: int, opcode: int,
+                  stack: list, push_value=None, context: int = 0) -> None:
+    """Wire the stack channels of an op row per its stack behavior:
+    `stack` is the pre-instruction stack, bottom first.  Pop channels read
+    the top slots; the push channel (if any) writes the net-new top."""
+    name = next(n for n, v in decode_flags(opcode, True).items() if v)
+    behavior = CpuStark._STACK_BEHAVIORS.get(name)
+    trace[STACK_LEN, j] = len(stack)
+    set_stack_bounds_aux(trace, j)
+    if behavior is None:
+        return
+    num_pops, pushes, _ = behavior
+    for i in range(num_pops):
+        ch = MEM_CHANNELS[i]
+        trace[ch.used, j] = 1
+        trace[ch.is_read, j] = 1
+        trace[ch.addr_context, j] = context
+        trace[ch.addr_segment, j] = int(Segment.Stack)
+        trace[ch.addr_virtual, j] = len(stack) - 1 - i
+        for l, c in enumerate(ch.value):
+            trace[c, j] = (stack[-1 - i] >> (32 * l)) & 0xFFFFFFFF
+    if pushes:
+        ch = MEM_CHANNELS[NUM_GP_CHANNELS - 1]
+        trace[ch.used, j] = 1
+        trace[ch.is_read, j] = 0
+        trace[ch.addr_context, j] = context
+        trace[ch.addr_segment, j] = int(Segment.Stack)
+        trace[ch.addr_virtual, j] = len(stack) - num_pops
+        if push_value is not None:
+            for l, c in enumerate(ch.value):
+                trace[c, j] = (push_value >> (32 * l)) & 0xFFFFFFFF
 
 
 def set_u256_channel(trace: np.ndarray, j: int, channel: int, value: int):
@@ -238,7 +290,7 @@ def set_eq_iszero_values(trace: np.ndarray, j: int, val0: int, val1: int):
     l0 = [(val0 >> (32 * i)) & 0xFFFFFFFF for i in range(VALUE_LIMBS)]
     l1 = [(val1 >> (32 * i)) & 0xFFFFFFFF for i in range(VALUE_LIMBS)]
     num_unequal = sum(a != b for a, b in zip(l0, l1))
-    set_u256_channel(trace, j, 2, int(num_unequal == 0))
+    set_u256_channel(trace, j, NUM_GP_CHANNELS - 1, int(num_unequal == 0))
     n_inv = pow(num_unequal, gl.P - 2, gl.P) if num_unequal else 0
     for c, a, b in zip(GENERAL, l0, l1):
         d = (a - b) % gl.P
@@ -255,6 +307,9 @@ def fill_jump_row(trace: np.ndarray, j: int, opcode: int, pc: int, dst: int,
     fill_cycle_row(trace, j, opcode, kernel_mode, context, pc=pc)
     if opcode == 0x56:
         cond = 1
+        wire_stack_op(trace, j, opcode, [dst], context=context)
+    else:
+        wire_stack_op(trace, j, opcode, [cond, dst], context=context)
     set_u256_channel(trace, j, 0, dst)
     set_u256_channel(trace, j, 1, cond)
     should = int(cond != 0)
@@ -402,6 +457,8 @@ class CpuStark(Stark):
         self._eval_memio(alg, lv, yield_constr)
         self._eval_syscalls(alg, lv, nv, yield_constr)
         self._eval_control_flow(alg, lv, nv, yield_constr)
+        self._eval_stack(alg, lv, yield_constr)
+        self._eval_stack_bounds(alg, lv, yield_constr)
 
     def _eval_decode(self, alg, lv, yield_constr) -> None:
         """Opcode-bit decoding into instruction flags on cycle rows
@@ -465,7 +522,11 @@ class CpuStark(Stark):
         one = alg.one()
         input0 = [lv[c] for c in MEM_CHANNELS[0].value]
         input1 = [lv[c] for c in MEM_CHANNELS[1].value]
-        output = [lv[c] for c in MEM_CHANNELS[2].value]
+        # Deviation: the result goes out through the PUSH channel; the
+        # reference computes it into channel 2 (eq_iszero.rs:31) which the
+        # stack behaviors then disable, so the pushed value would be
+        # unconstrained.
+        output = [lv[c] for c in MEM_CHANNELS[NUM_GP_CHANNELS - 1].value]
         diff_pinv = [lv[c] for c in GENERAL]
         eq_f = lv[OP["eq"]]
         iszero_f = lv[OP["iszero"]]
@@ -796,6 +857,87 @@ class CpuStark(Stark):
                 alg.sub(lv[PROGRAM_COUNTER], alg.const(labels["halt_pc0"])),
                 alg.sub(lv[PROGRAM_COUNTER], alg.const(labels["halt_pc1"]))))
             yield_constr.constraint_last_row(alg.sub(lv[IS_KERNEL_MODE], one))
+
+    # (num_pops, pushes, disable_other_channels) per op; None = the op
+    # constrains its channels itself (reference stack.rs:20-124)
+    _STACK_BEHAVIORS = {
+        "add": (2, True, True), "mul": (2, True, True),
+        "sub": (2, True, True), "div": (2, True, True),
+        "mod_": (2, True, True), "addmod": (2, True, True),
+        "mulmod": (2, True, True), "addfp254": (2, True, True),
+        "mulfp254": (2, True, True), "subfp254": (2, True, True),
+        "lt": (2, True, True), "gt": (2, True, True),
+        "eq": (2, True, True), "iszero": (1, True, True),
+        "and_": (2, True, True), "or_": (2, True, True),
+        "xor": (2, True, True), "not_": (1, True, True),
+        "byte": (2, True, True), "shl": (2, True, False),
+        "shr": (2, True, False),
+        "jump": (1, False, False), "jumpi": (2, False, False),
+        "pc": (0, True, True), "jumpdest": (0, False, True),
+        "get_context": (0, True, True), "set_context": (1, False, True),
+        "exit_kernel": (1, False, True),
+        "mload_general": (3, True, False),
+        "mstore_general": (4, False, False),
+        "syscall": (0, True, False),
+    }
+    MAX_USER_STACK_SIZE = 1024
+
+    def _eval_stack(self, alg, lv, yield_constr) -> None:
+        """Each op's pops read stack[len-1-i] through the first channels and
+        a push writes stack[len-num_pops] through the last
+        (reference stack.rs:126-183)."""
+        one = alg.one()
+        for name, (num_pops, pushes, disable) in self._STACK_BEHAVIORS.items():
+            filt = alg.mul(lv[IS_CPU_CYCLE], lv[OP[name]])
+            for i in range(num_pops):
+                ch = MEM_CHANNELS[i]
+                yield_constr.constraint(
+                    alg.mul(filt, alg.sub(lv[ch.used], one)))
+                yield_constr.constraint(
+                    alg.mul(filt, alg.sub(lv[ch.is_read], one)))
+                yield_constr.constraint(
+                    alg.mul(filt, alg.sub(lv[ch.addr_context], lv[CONTEXT])))
+                yield_constr.constraint(alg.mul(
+                    filt, alg.sub(lv[ch.addr_segment],
+                                  alg.const(int(Segment.Stack)))))
+                addr = alg.add_const(lv[STACK_LEN], gl.P - (i + 1))
+                yield_constr.constraint(
+                    alg.mul(filt, alg.sub(lv[ch.addr_virtual], addr)))
+            if pushes:
+                ch = MEM_CHANNELS[NUM_GP_CHANNELS - 1]
+                yield_constr.constraint(
+                    alg.mul(filt, alg.sub(lv[ch.used], one)))
+                yield_constr.constraint(alg.mul(filt, lv[ch.is_read]))
+                yield_constr.constraint(
+                    alg.mul(filt, alg.sub(lv[ch.addr_context], lv[CONTEXT])))
+                yield_constr.constraint(alg.mul(
+                    filt, alg.sub(lv[ch.addr_segment],
+                                  alg.const(int(Segment.Stack)))))
+                addr = (alg.add_const(lv[STACK_LEN], gl.P - num_pops)
+                        if num_pops else lv[STACK_LEN])
+                yield_constr.constraint(
+                    alg.mul(filt, alg.sub(lv[ch.addr_virtual], addr)))
+            if disable:
+                hi = NUM_GP_CHANNELS - (1 if pushes else 0)
+                for ch in MEM_CHANNELS[num_pops:hi]:
+                    yield_constr.constraint(alg.mul(filt, lv[ch.used]))
+
+    def _eval_stack_bounds(self, alg, lv, yield_constr) -> None:
+        """Pop-without-read must show stack_len != 0; user-mode pushes must
+        show stack_len != MAX_USER_STACK_SIZE, via the witnessed
+        stack_len_bounds_aux pseudoinverse (reference stack_bounds.rs:29-102)."""
+        one = alg.one()
+        check_under = lv[OP["pop"]]
+        check_over = alg.add(lv[OP["pc"]], lv[OP["dup"]])
+        no_check = alg.sub(one, alg.add(check_under, check_over))
+        disallowed = alg.sub(
+            alg.mul_const(check_over, self.MAX_USER_STACK_SIZE), no_check)
+        lhs = alg.mul(alg.sub(lv[STACK_LEN], disallowed),
+                      lv[STACK_LEN_BOUNDS_AUX])
+        user_mode = alg.sub(one, lv[IS_KERNEL_MODE])
+        rhs = alg.add(user_mode, check_under)
+        yield_constr.constraint(
+            alg.mul(lv[IS_CPU_CYCLE], alg.sub(lhs, rhs)))
 
     def constraint_degree(self) -> int:
         return 3

@@ -130,6 +130,7 @@ def test_decode_constraints_accept_correct_flags():
     for j, op in enumerate([0x01, 0x60, 0x02, 0x5A, 0x16, 0x5B]):
         cpu_mod.fill_cycle_row(trace, boot_end + j, op, kernel_mode=True,
                                pc=j)
+        cpu_mod.wire_stack_op(trace, boot_end + j, op, [5, 7], push_value=0)
     assert _row_constraint_violations(stark, trace) == []
 
 
@@ -168,30 +169,29 @@ def test_simple_logic_and_pc_constraints():
 
     # GETPC: push_value[0] == program_counter
     cpu_mod.fill_cycle_row(trace, j, 0x58, pc=77)
-    cpu_mod.set_u256_channel(trace, j, cpu_mod.NUM_GP_CHANNELS - 1, 77)
+    cpu_mod.wire_stack_op(trace, j, 0x58, [1, 2], push_value=77)
 
     # NOT: out = ~in per 32-bit limb
     v = 0x1234_5678_9ABC_DEF0_0F0F * 7919
     cpu_mod.fill_cycle_row(trace, j + 1, 0x19, pc=78)
-    cpu_mod.set_u256_channel(trace, j + 1, 0, v)
     mask = (1 << 256) - 1
-    cpu_mod.set_u256_channel(trace, j + 1, cpu_mod.NUM_GP_CHANNELS - 1,
-                             v ^ mask)
+    cpu_mod.wire_stack_op(trace, j + 1, 0x19, [v], push_value=v ^ mask)
 
     # EQ equal, EQ unequal, ISZERO zero, ISZERO nonzero
-    cpu_mod.fill_cycle_row(trace, j + 2, 0x14, pc=79)
-    cpu_mod.set_eq_iszero_values(trace, j + 2, 12345, 12345)
-    cpu_mod.fill_cycle_row(trace, j + 3, 0x14, pc=80)
-    cpu_mod.set_eq_iszero_values(trace, j + 3, 12345, 54321 << 200)
-    cpu_mod.fill_cycle_row(trace, j + 4, 0x15, pc=81)
-    cpu_mod.set_eq_iszero_values(trace, j + 4, 0, 0)
-    cpu_mod.fill_cycle_row(trace, j + 5, 0x15, pc=82)
-    cpu_mod.set_eq_iszero_values(trace, j + 5, 99 << 128, 0)
+    def eq_row(row, op, v0, v1, pc):
+        cpu_mod.fill_cycle_row(trace, row, op, pc=pc)
+        stack = [v1, v0] if op == 0x14 else [v0]
+        cpu_mod.wire_stack_op(trace, row, op, stack)
+        cpu_mod.set_eq_iszero_values(trace, row, v0, v1)
+    eq_row(j + 2, 0x14, 12345, 12345, 79)
+    eq_row(j + 3, 0x14, 12345, 54321 << 200, 80)
+    eq_row(j + 4, 0x15, 0, 0, 81)
+    eq_row(j + 5, 0x15, 99 << 128, 0, 82)
     assert _row_constraint_violations(stark, trace) == []
 
     # corrupt the EQ result bit: constraints must break
     bad = trace.copy()
-    c0 = cpu_mod.MEM_CHANNELS[2].value[0]
+    c0 = cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 1].value[0]
     bad[c0, j + 2] = 0
     assert _row_constraint_violations(stark, bad) != []
     # claim unequal values equal without a valid certificate
@@ -226,7 +226,7 @@ def test_jump_constraints():
                           kernel_mode=False)
     # EXIT_KERNEL restores pc + mode
     cpu_mod.fill_cycle_row(trace, j + 8, 0xF9, kernel_mode=True, pc=50)
-    cpu_mod.set_u256_channel(trace, j + 8, 0, 99 | (0 << 32))
+    cpu_mod.wire_stack_op(trace, j + 8, 0xF9, [99 | (0 << 32)])
     trace[cpu_mod.PROGRAM_COUNTER, j + 9] = 99
     trace[cpu_mod.IS_KERNEL_MODE, j + 9] = 0
     assert _row_constraint_violations(stark, trace) == []
@@ -255,18 +255,20 @@ def test_contextops_modfp254_shift_constraints():
 
     # GET_CONTEXT pushes context; SET_CONTEXT pops the next context
     cpu_mod.fill_cycle_row(trace, j, 0xF6, context=5, pc=10)
-    cpu_mod.set_u256_channel(trace, j, cpu_mod.NUM_GP_CHANNELS - 1, 5)
+    cpu_mod.wire_stack_op(trace, j, 0xF6, [], push_value=5, context=5)
     cpu_mod.fill_cycle_row(trace, j + 1, 0xF7, context=5, pc=11)
-    cpu_mod.set_u256_channel(trace, j + 1, 0, 9)
+    cpu_mod.wire_stack_op(trace, j + 1, 0xF7, [9], context=5)
     trace[cpu_mod.CONTEXT, j + 2] = 9
 
     # MULFP254 pins channel 2 to the bn254 prime
     P254 = 21888242871839275222246405745257275088696311157297823662689037894645226208583
     cpu_mod.fill_cycle_row(trace, j + 3, 0x0D, pc=12)
+    cpu_mod.wire_stack_op(trace, j + 3, 0x0D, [3, 4], push_value=12)
     cpu_mod.set_u256_channel(trace, j + 3, 2, P254)
 
     # SHL with small displacement reads 2^d from the shift table
     cpu_mod.fill_cycle_row(trace, j + 4, 0x1B, pc=13)
+    cpu_mod.wire_stack_op(trace, j + 4, 0x1B, [21, 3], push_value=21 << 3)
     cpu_mod.set_u256_channel(trace, j + 4, 0, 3)        # displacement 3
     ch = cpu_mod.MEM_CHANNELS[2]
     trace[ch.used, j + 4] = 1                            # hi limbs zero
@@ -282,6 +284,7 @@ def test_contextops_modfp254_shift_constraints():
     # SHR with huge displacement: hi limbs nonzero, table read disabled
     from plonky2_tpu.field import goldilocks as gl
     cpu_mod.fill_cycle_row(trace, j + 5, 0x1C, pc=14)
+    cpu_mod.wire_stack_op(trace, j + 5, 0x1C, [99, 1 << 100], push_value=0)
     cpu_mod.set_u256_channel(trace, j + 5, 0, 1 << 100)
     hi_sum = 1 << 4  # limb 3 holds 2^4 from 1<<100
     trace[cpu_mod.GENERAL[0], j + 5] = pow(hi_sum, gl.P - 2, gl.P)
@@ -358,6 +361,7 @@ def test_memio_constraints():
 
     # MLOAD_GENERAL: address triple in ch0-2, loaded value in ch3 == pushed
     cpu_mod.fill_cycle_row(trace, j, 0xFB, pc=30)
+    cpu_mod.wire_stack_op(trace, j, 0xFB, [140, 7, 3], push_value=v)
     for i, part in enumerate([3, 7, 140]):
         cpu_mod.set_u256_channel(trace, j, i, part)
     ld = cpu_mod.MEM_CHANNELS[3]
@@ -373,6 +377,7 @@ def test_memio_constraints():
 
     # MSTORE_GENERAL: value in ch3 written through ch4
     cpu_mod.fill_cycle_row(trace, j + 1, 0xFC, pc=31)
+    cpu_mod.wire_stack_op(trace, j + 1, 0xFC, [v + 1, 64, 2, 0])
     for i, part in enumerate([0, 2, 64]):
         cpu_mod.set_u256_channel(trace, j + 1, i, part)
     cpu_mod.set_u256_channel(trace, j + 1, 3, v + 1)
@@ -430,6 +435,12 @@ GLOBAL syscall_jumptable:
         trace[ch.addr_virtual, j] = jt + 3 * opcode + i
         trace[ch.value[0], j] = hbytes[i]
     out = cpu_mod.MEM_CHANNELS[cpu_mod.NUM_GP_CHANNELS - 1]
+    trace[out.used, j] = 1
+    trace[out.is_read, j] = 0
+    trace[out.addr_segment, j] = int(Segment.Stack)
+    trace[cpu_mod.STACK_LEN, j] = 0
+    trace[out.addr_virtual, j] = 0
+    cpu_mod.set_stack_bounds_aux(trace, j)
     trace[out.value[0], j] = 124     # pc + 1
     trace[out.value[1], j] = 0       # was user mode
     trace[cpu_mod.PROGRAM_COUNTER, j + 1] = handler
