@@ -13,8 +13,14 @@ sponge expects the length):
   ch0.value[0] = context, ch1.value[0] = segment, ch2.value[0] = virt,
   ch3.value[0] = len, ch4.value[..8] = code hash (8 u32 limbs).
 
-Cycle-execution constraints (decode, stack, jumps, syscalls, ...) are the
-next stage; rows with is_cpu_cycle = 1 are not yet generated."""
+Cycle-row constraint stages implemented: decode (opcode bits -> one-hot
+instruction flags with kernel gating), simple logic (NOT/EQ/ISZERO), GETPC,
+jumps (JUMP/JUMPI/EXIT_KERNEL), context ops, fp254 modulus pinning, shift
+table gating, dup/swap, memio (MLOAD/MSTORE_GENERAL), syscall dispatch,
+control flow (native pc increment; kernel start/halt endgame gated on halt
+labels), per-op stack behaviors and stack bounds.  What remains for full
+execution proofs is the witness generator that runs a program into these
+rows (reference witness/ + generation/), plus gas accounting."""
 from __future__ import annotations
 
 from dataclasses import dataclass
@@ -26,7 +32,7 @@ from ..field import goldilocks as gl
 from ..stark.stark import Stark
 from .cross_table_lookup import Column
 from .kernel.assembler import Kernel
-from .memory import MemoryOp, Segment
+from .memory import MemoryOp, Segment  # noqa: F401
 from .keccak_sponge import KeccakSpongeOp
 
 NUM_GP_CHANNELS = 5                      # membus.rs:10
