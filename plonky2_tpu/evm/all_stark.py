@@ -196,17 +196,30 @@ def generate_all_traces_with_cpu(kernel, min_rows: int = 8
                                  ) -> List[np.ndarray]:
     """Witness generation for the 5-table system: the CPU bootstraps the
     kernel into memory, the sponge hashes it, and the CPU looks up the
-    resulting code digest (reference generation/ + bootstrap_kernel.rs)."""
+    resulting code digest (reference generation/ + bootstrap_kernel.rs).
+    Kernels that define main/halt_pc0/halt_pc1 labels are additionally
+    EXECUTED: the cycle rows, their per-channel memory ops and their
+    AND/OR/XOR logic lookups all enter the witness
+    (reference witness/ + generation/mod.rs)."""
     from .cpu import generate_bootstrap_kernel
-    cpu_trace, cpu_memory_ops, sponge_ops = \
-        generate_bootstrap_kernel(kernel, min_rows=min_rows)
+    labels = kernel.global_labels
+    if all(k in labels for k in ("main", "halt_pc0", "halt_pc1")):
+        from .generation import generate_kernel_execution
+        ex = generate_kernel_execution(kernel, min_rows=min_rows)
+        cpu_trace, cpu_memory_ops = ex.cpu_trace, ex.memory_ops
+        sponge_ops, cpu_logic_ops = ex.sponge_ops, ex.logic_ops
+    else:
+        cpu_trace, cpu_memory_ops, sponge_ops = \
+            generate_bootstrap_kernel(kernel, min_rows=min_rows)
+        cpu_logic_ops = []
     sponge_trace = KeccakSpongeStark().generate_trace(sponge_ops,
                                                       min_rows=min_rows)
     keccak_inputs, logic_ops, sponge_memory_ops = \
         _sponge_derived_witness(sponge_trace)
     keccak_trace = KeccakStark().generate_trace(keccak_inputs,
                                                 min_rows=min_rows)
-    logic_trace = LogicStark().generate_trace(logic_ops, min_rows=min_rows)
+    logic_trace = LogicStark().generate_trace(cpu_logic_ops + logic_ops,
+                                              min_rows=min_rows)
     memory_trace = MemoryStark().generate_trace(cpu_memory_ops
                                                 + sponge_memory_ops)
     return [cpu_trace, keccak_trace, sponge_trace, logic_trace, memory_trace]

@@ -18,9 +18,10 @@ instruction flags with kernel gating), simple logic (NOT/EQ/ISZERO), GETPC,
 jumps (JUMP/JUMPI/EXIT_KERNEL), context ops, fp254 modulus pinning, shift
 table gating, dup/swap, memio (MLOAD/MSTORE_GENERAL), syscall dispatch,
 control flow (native pc increment; kernel start/halt endgame gated on halt
-labels), per-op stack behaviors and stack bounds.  What remains for full
-execution proofs is the witness generator that runs a program into these
-rows (reference witness/ + generation/), plus gas accounting."""
+labels), per-op stack behaviors and stack bounds.  The full-execution
+witness generator that runs a program into these rows lives in
+`generation.py` (reference witness/ + generation/); gas accounting and the
+arithmetic-table CTL (binding ADD/MUL/... results) are future work."""
 from __future__ import annotations
 
 from dataclasses import dataclass

@@ -1,0 +1,333 @@
+"""Full kernel-execution witness generation for the CPU table.
+
+This is the role of the reference's `evm/src/witness/{operation,transition}.rs`
+and `generation/mod.rs`: execute assembled kernel bytecode cycle by cycle,
+filling one CPU trace row per cycle such that every implemented constraint
+stage is satisfied, and emitting the memory / logic operations the
+cross-table lookups oblige (one memory read of the code byte per cycle plus
+one memory op per used general-purpose channel, reference
+cpu_stark.rs:52-112; one logic-table row per AND/OR/XOR).
+
+Layout of the generated trace (reference generation/mod.rs:71-121): the
+bootstrap rows write the kernel code to memory and expose the code-hash
+sponge lookup (`cpu.generate_bootstrap_kernel`), then cycle rows run from
+``main`` in kernel mode with an empty stack until the halt loop
+(``halt_pc0``/``halt_pc1``) is reached, and keep spinning that loop until
+the power-of-two trace is full — the control-flow stage requires the last
+row to sit inside the loop (cpu.py _eval_control_flow,
+reference control_flow.rs:67-107).
+
+The memory ops for used channels are derived by scanning the wired channel
+columns after each row is filled, so the CPU-side CTL values and the memory
+table rows cannot drift apart.
+
+Supported op set: the ops with in-table constraint stages (PUSH, POP, DUP,
+SWAP, NOT, EQ, ISZERO, AND/OR/XOR via the logic CTL, GETPC, JUMPDEST,
+JUMP/JUMPI, GET/SET_CONTEXT, MLOAD/MSTORE_GENERAL) plus the 256-bit
+arithmetic ops (ADD/MUL/SUB/DIV/MOD/LT/GT), whose results will be bound by
+the arithmetic-table CTL when that table joins the AllStark.  SYSCALL /
+EXIT_KERNEL / KECCAK_GENERAL / PROVER_INPUT execution is future work.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..field import goldilocks as gl
+from .cpu import (CLOCK, CODE_CONTEXT, JUMPS_COND_SUM_PINV, JUMPS_SHOULD_JUMP,
+                  MEM_CHANNELS, MEM_CODE_CHANNEL_IDX, MEM_GP_CHANNELS_IDX_START,
+                  NUM_CHANNELS, NUM_CPU_COLUMNS, NUM_GP_CHANNELS,
+                  PROGRAM_COUNTER, STACK_LEN, VALUE_LIMBS,
+                  fill_cycle_row, generate_bootstrap_kernel,
+                  set_eq_iszero_values, set_stack_bounds_aux, set_u256_channel,
+                  wire_stack_op)
+from .kernel.assembler import Kernel
+from .keccak_sponge import KeccakSpongeOp
+from .logic import Operation as LogicOp
+from .memory import MemoryOp, Segment
+
+MASK256 = (1 << 256) - 1
+
+
+class _TraceFull(Exception):
+    """The program needs more cycle rows than the current trace has."""
+
+
+@dataclass
+class ExecState:
+    pc: int
+    stack: List[int] = field(default_factory=list)
+    context: int = 0
+    # sparse general memory: (context, segment, virtual) -> u256
+    memory: Dict[Tuple[int, int, int], int] = field(default_factory=dict)
+
+
+@dataclass
+class KernelExecution:
+    cpu_trace: np.ndarray
+    memory_ops: List[MemoryOp]
+    logic_ops: List[LogicOp]
+    sponge_ops: List[KeccakSpongeOp]
+    final_state: ExecState
+
+
+def _wire_channel(trace, j: int, ch, *, is_read: bool, context: int,
+                  segment: int, virt: int, value: int) -> None:
+    trace[ch.used, j] = 1
+    trace[ch.is_read, j] = int(is_read)
+    trace[ch.addr_context, j] = context
+    trace[ch.addr_segment, j] = segment
+    trace[ch.addr_virtual, j] = virt
+    for i, c in enumerate(ch.value):
+        trace[c, j] = (value >> (32 * i)) & 0xFFFFFFFF
+
+
+def _channel_mem_ops(trace, j: int, memory_ops: List[MemoryOp]) -> None:
+    """Emit one MemoryOp per used GP channel, read back from the wired
+    columns so the memory table always matches the CPU-side CTL values
+    (reference witness/memory.rs channel timestamps:
+    clock * NUM_CHANNELS + 1 + channel)."""
+    for idx, ch in enumerate(MEM_CHANNELS):
+        if not trace[ch.used, j]:
+            continue
+        value = sum(int(trace[c, j]) << (32 * i)
+                    for i, c in enumerate(ch.value))
+        memory_ops.append(MemoryOp(
+            filter=True,
+            timestamp=j * NUM_CHANNELS + MEM_GP_CHANNELS_IDX_START + idx,
+            is_read=bool(trace[ch.is_read, j]),
+            context=int(trace[ch.addr_context, j]),
+            segment=int(trace[ch.addr_segment, j]),
+            virt=int(trace[ch.addr_virtual, j]), value=value))
+
+
+_BINOPS = {
+    0x01: lambda x, y: (x + y) & MASK256,            # ADD
+    0x02: lambda x, y: (x * y) & MASK256,            # MUL
+    0x03: lambda x, y: (x - y) & MASK256,            # SUB
+    0x04: lambda x, y: x // y if y else 0,           # DIV
+    0x06: lambda x, y: x % y if y else 0,            # MOD
+    0x10: lambda x, y: int(x < y),                   # LT
+    0x11: lambda x, y: int(x > y),                   # GT
+}
+_LOGIC = {0x16: "and", 0x17: "or", 0x18: "xor"}
+
+
+def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
+                memory_ops: List[MemoryOp],
+                logic_ops: List[LogicOp]) -> None:
+    """Execute one instruction into trace row j and advance the state."""
+    code = kernel.code
+    pc = st.pc
+    if pc >= len(code):
+        raise ValueError(f"pc {pc} ran off the end of the kernel code")
+    op = code[pc]
+    S = st.stack
+
+    # stack_len must be in place before fill_cycle_row's bounds-aux witness
+    # runs (it checks pops against a zero stack otherwise)
+    trace[STACK_LEN, j] = len(S)
+    fill_cycle_row(trace, j, op, kernel_mode=True, context=st.context, pc=pc)
+    # every cycle reads its opcode byte through the code channel
+    # (cpu_stark.rs ctl_data_code_memory)
+    memory_ops.append(MemoryOp(
+        filter=True, timestamp=j * NUM_CHANNELS + MEM_CODE_CHANNEL_IDX,
+        is_read=True, context=int(trace[CODE_CONTEXT, j]),
+        segment=int(Segment.Code), virt=pc, value=op))
+
+    if 0x60 <= op < 0x80:                            # PUSH1..PUSH32
+        n = op - 0x5F
+        val = int.from_bytes(code[pc + 1:pc + 1 + n], "big")
+        wire_stack_op(trace, j, op, S, context=st.context)  # stack_len + aux
+        _wire_channel(trace, j, MEM_CHANNELS[NUM_GP_CHANNELS - 1],
+                      is_read=False, context=st.context,
+                      segment=int(Segment.Stack), virt=len(S), value=val)
+        S.append(val)
+        st.pc = pc + 1 + n
+    elif 0x80 <= op < 0x90:                          # DUP1..DUP16
+        n = op & 0x0F                                # dup_swap.rs:98
+        val = S[-1 - n]
+        wire_stack_op(trace, j, op, S, context=st.context)
+        _wire_channel(trace, j, MEM_CHANNELS[0], is_read=True,
+                      context=st.context, segment=int(Segment.Stack),
+                      virt=len(S) - 1 - n, value=val)
+        _wire_channel(trace, j, MEM_CHANNELS[NUM_GP_CHANNELS - 1],
+                      is_read=False, context=st.context,
+                      segment=int(Segment.Stack), virt=len(S), value=val)
+        S.append(val)
+        st.pc = pc + 1
+    elif 0x90 <= op < 0xA0:                          # SWAP1..SWAP16
+        d = (op & 0x0F) + 1                          # dup_swap.rs:160
+        top, deep = S[-1], S[-1 - d]
+        wire_stack_op(trace, j, op, S, context=st.context)
+        seg = int(Segment.Stack)
+        _wire_channel(trace, j, MEM_CHANNELS[0], is_read=True,
+                      context=st.context, segment=seg, virt=len(S) - 1,
+                      value=top)
+        _wire_channel(trace, j, MEM_CHANNELS[1], is_read=True,
+                      context=st.context, segment=seg, virt=len(S) - 1 - d,
+                      value=deep)
+        _wire_channel(trace, j, MEM_CHANNELS[NUM_GP_CHANNELS - 2],
+                      is_read=False, context=st.context, segment=seg,
+                      virt=len(S) - 1 - d, value=top)
+        _wire_channel(trace, j, MEM_CHANNELS[NUM_GP_CHANNELS - 1],
+                      is_read=False, context=st.context, segment=seg,
+                      virt=len(S) - 1, value=deep)
+        S[-1], S[-1 - d] = deep, top
+        st.pc = pc + 1
+    elif op in _BINOPS:
+        x, y = S[-1], S[-2]
+        r = _BINOPS[op](x, y)
+        wire_stack_op(trace, j, op, S, push_value=r, context=st.context)
+        del S[-2:]
+        S.append(r)
+        st.pc = pc + 1
+    elif op in _LOGIC:                               # AND / OR / XOR
+        x, y = S[-1], S[-2]
+        lop = LogicOp(_LOGIC[op], x, y)
+        r = lop.result
+        wire_stack_op(trace, j, op, S, push_value=r, context=st.context)
+        # the logic CTL reads the result from channel 2's value columns
+        # (cpu.py ctl_data_logic); the channel itself stays disabled
+        set_u256_channel(trace, j, 2, r)
+        logic_ops.append(lop)
+        del S[-2:]
+        S.append(r)
+        st.pc = pc + 1
+    elif op == 0x19:                                 # NOT
+        x = S[-1]
+        r = x ^ MASK256
+        wire_stack_op(trace, j, op, S, push_value=r, context=st.context)
+        S[-1] = r
+        st.pc = pc + 1
+    elif op == 0x14:                                 # EQ
+        x, y = S[-1], S[-2]
+        r = int(x == y)
+        wire_stack_op(trace, j, op, S, push_value=r, context=st.context)
+        set_eq_iszero_values(trace, j, x, y)
+        del S[-2:]
+        S.append(r)
+        st.pc = pc + 1
+    elif op == 0x15:                                 # ISZERO
+        x = S[-1]
+        r = int(x == 0)
+        wire_stack_op(trace, j, op, S, push_value=r, context=st.context)
+        set_eq_iszero_values(trace, j, x, 0)
+        S[-1] = r
+        st.pc = pc + 1
+    elif op == 0x50:                                 # POP
+        wire_stack_op(trace, j, op, S, context=st.context)
+        S.pop()
+        st.pc = pc + 1
+    elif op == 0x58:                                 # GETPC
+        wire_stack_op(trace, j, op, S, push_value=pc, context=st.context)
+        S.append(pc)
+        st.pc = pc + 1
+    elif op == 0x5B:                                 # JUMPDEST
+        wire_stack_op(trace, j, op, S, context=st.context)
+        st.pc = pc + 1
+    elif op in (0x56, 0x57):                         # JUMP / JUMPI
+        dst = S[-1]
+        cond = 1 if op == 0x56 else S[-2]
+        wire_stack_op(trace, j, op, S, context=st.context)
+        if op == 0x56:
+            set_u256_channel(trace, j, 1, 1)         # jumps.rs: cond pinned 1
+        should = int(cond != 0)
+        trace[JUMPS_SHOULD_JUMP, j] = should
+        cond_sum = sum((cond >> (32 * i)) & 0xFFFFFFFF
+                       for i in range(VALUE_LIMBS)) % gl.P
+        trace[JUMPS_COND_SUM_PINV, j] = \
+            pow(cond_sum, gl.P - 2, gl.P) if cond_sum else 0
+        # jumpdest-bit channel: unused in kernel mode, but its address and
+        # claimed flag value are still constrained (jumps.rs:97-120)
+        ch = MEM_CHANNELS[NUM_GP_CHANNELS - 1]
+        trace[ch.value[0], j] = 1
+        trace[ch.is_read, j] = 1
+        trace[ch.addr_context, j] = st.context
+        trace[ch.addr_segment, j] = int(Segment.JumpdestBits)
+        trace[ch.addr_virtual, j] = dst
+        del S[-2 if op == 0x57 else -1:]
+        st.pc = dst if should else pc + 1
+    elif op == 0xF6:                                 # GET_CONTEXT
+        wire_stack_op(trace, j, op, S, push_value=st.context,
+                      context=st.context)
+        S.append(st.context)
+        st.pc = pc + 1
+    elif op == 0xF7:                                 # SET_CONTEXT
+        wire_stack_op(trace, j, op, S, context=st.context)
+        st.context = S.pop()
+        st.pc = pc + 1
+    elif op == 0xFB:                                 # MLOAD_GENERAL
+        ctx, seg, virt = S[-1], S[-2], S[-3]
+        val = st.memory.get((ctx, seg, virt), 0)
+        wire_stack_op(trace, j, op, S, push_value=val, context=st.context)
+        _wire_channel(trace, j, MEM_CHANNELS[3], is_read=True, context=ctx,
+                      segment=seg, virt=virt, value=val)
+        del S[-3:]
+        S.append(val)
+        st.pc = pc + 1
+    elif op == 0xFC:                                 # MSTORE_GENERAL
+        ctx, seg, virt, val = S[-1], S[-2], S[-3], S[-4]
+        wire_stack_op(trace, j, op, S, context=st.context)
+        _wire_channel(trace, j, MEM_CHANNELS[4], is_read=False, context=ctx,
+                      segment=seg, virt=virt, value=val)
+        st.memory[(ctx, seg, virt)] = val
+        del S[-4:]
+        st.pc = pc + 1
+    else:
+        raise NotImplementedError(
+            f"opcode {op:#04x} at pc {pc} is not supported by the execution "
+            "witness generator yet")
+
+    set_stack_bounds_aux(trace, j)
+    _channel_mem_ops(trace, j, memory_ops)
+
+
+def _generate(kernel: Kernel, n_rows: int) -> KernelExecution:
+    labels = kernel.global_labels
+    boot_trace, memory_ops, sponge_ops = \
+        generate_bootstrap_kernel(kernel, min_rows=2)
+    nb = -(-len(kernel.code) // NUM_GP_CHANNELS) + 1
+    if nb + 1 >= n_rows:
+        raise _TraceFull
+    trace = np.zeros((NUM_CPU_COLUMNS, n_rows), dtype=np.uint64)
+    trace[:, :nb] = boot_trace[:, :nb]
+    trace[CLOCK] = np.arange(n_rows, dtype=np.uint64)
+
+    st = ExecState(pc=labels["main"])
+    logic_ops: List[LogicOp] = []
+    halt_pcs = {labels["halt_pc0"], labels["halt_pc1"]}
+    for j in range(nb, n_rows):
+        _fill_cycle(trace, j, st, kernel, memory_ops, logic_ops)
+    if int(trace[PROGRAM_COUNTER, n_rows - 1]) not in halt_pcs:
+        raise _TraceFull
+    return KernelExecution(cpu_trace=trace, memory_ops=memory_ops,
+                           logic_ops=logic_ops, sponge_ops=sponge_ops,
+                           final_state=st)
+
+
+def generate_kernel_execution(kernel: Kernel,
+                              min_rows: int = 8) -> KernelExecution:
+    """Execute `kernel` from its ``main`` label and return the CPU trace
+    plus the memory/logic/sponge witness it implies.  The kernel must define
+    ``main``, ``halt_pc0`` and ``halt_pc1`` labels, with the halt loop
+    shaped so that spinning it keeps all constraints satisfied, e.g.::
+
+        GLOBAL halt_pc0:
+            PUSH halt_pc0
+        GLOBAL halt_pc1:
+            JUMP
+    """
+    for k in ("main", "halt_pc0", "halt_pc1"):
+        if k not in kernel.global_labels:
+            raise ValueError(f"kernel is missing the `{k}` label required "
+                             "for execution proofs")
+    n_rows = max(min_rows, 8)
+    n_rows = 1 << (n_rows - 1).bit_length()
+    while True:
+        try:
+            return _generate(kernel, n_rows)
+        except _TraceFull:
+            n_rows *= 2

@@ -111,3 +111,46 @@ def test_stark_circuit_constraints(stark: Stark, rng=None) -> None:
 
     data = builder.build()
     data.verify(data.prove(pw))
+
+
+def trace_constraint_violations(stark: Stark, trace: np.ndarray,
+                                public_inputs=()) -> list:
+    """Evaluate every constraint row-wise on a concrete trace with the
+    numpy backend and return the indices of violated ones (the witness-side
+    mirror of the reference's golden-file methodology: a generated trace
+    must satisfy the constraint set exactly).  ``next`` values wrap around,
+    matching the trace's evaluation domain; transition constraints skip the
+    wrap row."""
+    n = trace.shape[1]
+    alg = NumpyBatch()
+
+    class _Recorder:
+        def __init__(self):
+            self.fails = []
+            self.idx = 0
+
+        def _check(self, c, rows):
+            arr = np.broadcast_to(np.asarray(c, dtype=np.uint64), (n,))
+            if np.any(arr[rows]):
+                self.fails.append(self.idx)
+            self.idx += 1
+
+        def constraint(self, c):
+            self._check(c, slice(None))
+
+        def constraint_transition(self, c):
+            self._check(c, slice(0, n - 1))
+
+        def constraint_first_row(self, c):
+            self._check(c, slice(0, 1))
+
+        def constraint_last_row(self, c):
+            self._check(c, slice(n - 1, n))
+
+    rec = _Recorder()
+    vars = StarkEvaluationVars(
+        local_values=[trace[c] for c in range(stark.COLUMNS)],
+        next_values=[np.roll(trace[c], -1) for c in range(stark.COLUMNS)],
+        public_inputs=list(public_inputs))
+    stark.eval(alg, vars, rec)
+    return rec.fails
