@@ -36,10 +36,12 @@ KECCAK_SPONGE = 1
 LOGIC = 2
 MEMORY = 3
 
-# 5-table layout with the CPU, matching the reference Table enum order
-# (reference all_stark.rs:33-47)
+# 6-table layout with the CPU: the first five match the reference Table
+# enum order (reference all_stark.rs:33-47); the arithmetic table is
+# appended — upstream ships it unconnected, here its results are bound to
+# the CPU via a live CTL
 CPU_TABLES = {"cpu": 0, "keccak": 1, "keccak_sponge": 2, "logic": 3,
-              "memory": 4}
+              "memory": 4, "arithmetic": 5}
 _DEFAULT_TABLES = {"keccak": KECCAK, "keccak_sponge": KECCAK_SPONGE,
                    "logic": LOGIC, "memory": MEMORY}
 
@@ -108,6 +110,20 @@ def ctl_keccak_sponge(t) -> CrossTableLookup:
     return CrossTableLookup(looking_tables=[looking], looked_table=looked)
 
 
+def ctl_arithmetic(t) -> CrossTableLookup:
+    """CPU ADD/MUL/SUB/LT/GT results are looked up in the arithmetic table
+    (no upstream analogue — the reference never connects this table)."""
+    from . import arithmetic as arith_mod
+    from . import cpu as cpu_mod
+    looking = TableWithColumns(
+        table=t["cpu"], columns=cpu_mod.ctl_data_arithmetic(),
+        filter_column=cpu_mod.ctl_filter_arithmetic())
+    looked = TableWithColumns(
+        table=t["arithmetic"], columns=arith_mod.ctl_data(),
+        filter_column=arith_mod.ctl_filter())
+    return CrossTableLookup(looking_tables=[looking], looked_table=looked)
+
+
 def all_cross_table_lookups() -> List[CrossTableLookup]:
     return [ctl_keccak(), ctl_logic(), ctl_memory()]
 
@@ -115,7 +131,7 @@ def all_cross_table_lookups() -> List[CrossTableLookup]:
 def all_cross_table_lookups_with_cpu() -> List[CrossTableLookup]:
     t = CPU_TABLES
     return [ctl_keccak(t), ctl_keccak_sponge(t), ctl_logic(t),
-            ctl_memory(t)]
+            ctl_memory(t), ctl_arithmetic(t)]
 
 
 def make_all_stark() -> AllStark:
@@ -185,10 +201,11 @@ def generate_all_traces(ops: List[KeccakSpongeOp],
 
 
 def make_all_stark_with_cpu(kernel) -> AllStark:
+    from .arithmetic import ArithmeticStark
     from .cpu import CpuStark
     return AllStark(
         starks=[CpuStark(kernel), KeccakStark(), KeccakSpongeStark(),
-                LogicStark(), MemoryStark()],
+                LogicStark(), MemoryStark(), ArithmeticStark()],
         cross_table_lookups=all_cross_table_lookups_with_cpu())
 
 
@@ -201,6 +218,7 @@ def generate_all_traces_with_cpu(kernel, min_rows: int = 8
     EXECUTED: the cycle rows, their per-channel memory ops and their
     AND/OR/XOR logic lookups all enter the witness
     (reference witness/ + generation/mod.rs)."""
+    from .arithmetic import ArithmeticStark
     from .cpu import generate_bootstrap_kernel
     labels = kernel.global_labels
     if all(k in labels for k in ("main", "halt_pc0", "halt_pc1")):
@@ -208,10 +226,11 @@ def generate_all_traces_with_cpu(kernel, min_rows: int = 8
         ex = generate_kernel_execution(kernel, min_rows=min_rows)
         cpu_trace, cpu_memory_ops = ex.cpu_trace, ex.memory_ops
         sponge_ops, cpu_logic_ops = ex.sponge_ops, ex.logic_ops
+        cpu_arith_ops = ex.arith_ops
     else:
         cpu_trace, cpu_memory_ops, sponge_ops = \
             generate_bootstrap_kernel(kernel, min_rows=min_rows)
-        cpu_logic_ops = []
+        cpu_logic_ops, cpu_arith_ops = [], []
     sponge_trace = KeccakSpongeStark().generate_trace(sponge_ops,
                                                       min_rows=min_rows)
     keccak_inputs, logic_ops, sponge_memory_ops = \
@@ -222,4 +241,7 @@ def generate_all_traces_with_cpu(kernel, min_rows: int = 8
                                               min_rows=min_rows)
     memory_trace = MemoryStark().generate_trace(cpu_memory_ops
                                                 + sponge_memory_ops)
-    return [cpu_trace, keccak_trace, sponge_trace, logic_trace, memory_trace]
+    arith_trace = ArithmeticStark().generate_trace(cpu_arith_ops,
+                                                   min_rows=min_rows)
+    return [cpu_trace, keccak_trace, sponge_trace, logic_trace, memory_trace,
+            arith_trace]

@@ -194,17 +194,27 @@ class Operation:
         return 2 if self.op in MODULAR_OPS else 1
 
 
+# one-row ops the CPU cross-table lookup binds; the modular family's
+# output lives on its second row and is not wired yet
+CTL_OPS = [IS_ADD, IS_MUL, IS_SUB, IS_LT, IS_GT]
+
+
 def ctl_data() -> List[Column]:
-    """Looked-up row shape for CPU-side cross-table lookups: op flags,
-    the three general inputs and the op output location."""
-    return (Column.singles(ALL_OPERATIONS)
-            + Column.singles(GENERAL_INPUT_0)
-            + Column.singles(GENERAL_INPUT_1)
-            + Column.singles(GENERAL_INPUT_2))
+    """Looked-up row shape for the CPU's arithmetic lookup: the one-row op
+    flags, then input0/input1/output.  The table stores 16-bit limbs while
+    the CPU's memory channels carry 32-bit limbs, so each payload limb is
+    the linear combination lo + 2^16·hi — the lookup compares values in the
+    CPU's basis.  (The reference ships this table unconnected; there is no
+    upstream analogue of this CTL.)"""
+    cols = Column.singles(CTL_OPS)
+    for rng in (GENERAL_INPUT_0, GENERAL_INPUT_1, GENERAL_INPUT_2):
+        cols += [Column([(rng[2 * i], 1), (rng[2 * i + 1], 1 << LIMB_BITS)])
+                 for i in range(N_LIMBS // 2)]
+    return cols
 
 
 def ctl_filter() -> Column:
-    return Column.sum_cols(ALL_OPERATIONS)
+    return Column.sum_cols(CTL_OPS)
 
 
 class ArithmeticStark(Stark):

@@ -168,6 +168,23 @@ def ctl_filter_logic() -> Column:
     return Column.sum_cols([OP["and_"], OP["or_"], OP["xor"]])
 
 
+def ctl_data_arithmetic() -> List[Column]:
+    """Operands in channels 0/1, result in channel 2's value columns (the
+    stack behaviors disable that channel, so — like the logic CTL — its
+    value columns are free to carry the lookup payload; the column order
+    mirrors arithmetic.ctl_data)."""
+    cols = Column.singles([OP["add"], OP["mul"], OP["sub"],
+                           OP["lt"], OP["gt"]])
+    for ch in (0, 1, 2):
+        cols += Column.singles(MEM_CHANNELS[ch].value)
+    return cols
+
+
+def ctl_filter_arithmetic() -> Column:
+    return Column.sum_cols([OP["add"], OP["mul"], OP["sub"],
+                            OP["lt"], OP["gt"]])
+
+
 def ctl_data_code_memory() -> List[Column]:
     cols = [Column.constant_col(1),
             Column.single(CODE_CONTEXT),

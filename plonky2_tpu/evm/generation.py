@@ -24,9 +24,10 @@ table rows cannot drift apart.
 Supported op set: the ops with in-table constraint stages (PUSH, POP, DUP,
 SWAP, NOT, EQ, ISZERO, AND/OR/XOR via the logic CTL, GETPC, JUMPDEST,
 JUMP/JUMPI, GET/SET_CONTEXT, MLOAD/MSTORE_GENERAL) plus the 256-bit
-arithmetic ops (ADD/MUL/SUB/DIV/MOD/LT/GT), whose results will be bound by
-the arithmetic-table CTL when that table joins the AllStark.  SYSCALL /
-EXIT_KERNEL / KECCAK_GENERAL / PROVER_INPUT execution is future work.
+arithmetic ops: ADD/MUL/SUB/LT/GT results are bound to the arithmetic
+table via a live CTL (which the reference never wires); DIV/MOD execute
+but their two-row modular CTL is future work, as are SYSCALL /
+EXIT_KERNEL / KECCAK_GENERAL / PROVER_INPUT execution.
 """
 from __future__ import annotations
 
@@ -43,6 +44,7 @@ from .cpu import (CLOCK, CODE_CONTEXT, JUMPS_COND_SUM_PINV, JUMPS_SHOULD_JUMP,
                   fill_cycle_row, generate_bootstrap_kernel,
                   set_eq_iszero_values, set_stack_bounds_aux, set_u256_channel,
                   wire_stack_op)
+from .arithmetic import Operation as ArithOp
 from .kernel.assembler import Kernel
 from .keccak_sponge import KeccakSpongeOp
 from .logic import Operation as LogicOp
@@ -69,6 +71,7 @@ class KernelExecution:
     cpu_trace: np.ndarray
     memory_ops: List[MemoryOp]
     logic_ops: List[LogicOp]
+    arith_ops: List[ArithOp]
     sponge_ops: List[KeccakSpongeOp]
     final_state: ExecState
 
@@ -112,12 +115,16 @@ _BINOPS = {
     0x10: lambda x, y: int(x < y),                   # LT
     0x11: lambda x, y: int(x > y),                   # GT
 }
+# binops whose result the arithmetic-table CTL binds (one-row ops; DIV/MOD
+# are two-row modular ops whose CTL is not wired yet)
+_ARITH_CTL = {0x01: "add", 0x02: "mul", 0x03: "sub", 0x10: "lt", 0x11: "gt"}
 _LOGIC = {0x16: "and", 0x17: "or", 0x18: "xor"}
 
 
 def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
                 memory_ops: List[MemoryOp],
-                logic_ops: List[LogicOp]) -> None:
+                logic_ops: List[LogicOp],
+                arith_ops: List[ArithOp]) -> None:
     """Execute one instruction into trace row j and advance the state."""
     code = kernel.code
     pc = st.pc
@@ -181,6 +188,12 @@ def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
         x, y = S[-1], S[-2]
         r = _BINOPS[op](x, y)
         wire_stack_op(trace, j, op, S, push_value=r, context=st.context)
+        if op in _ARITH_CTL:
+            # the arithmetic CTL reads the result from channel 2's value
+            # columns (cpu.py ctl_data_arithmetic); the channel stays
+            # disabled, like the logic CTL's
+            set_u256_channel(trace, j, 2, r)
+            arith_ops.append(ArithOp(_ARITH_CTL[op], x, y))
         del S[-2:]
         S.append(r)
         st.pc = pc + 1
@@ -298,14 +311,15 @@ def _generate(kernel: Kernel, n_rows: int) -> KernelExecution:
 
     st = ExecState(pc=labels["main"])
     logic_ops: List[LogicOp] = []
+    arith_ops: List[ArithOp] = []
     halt_pcs = {labels["halt_pc0"], labels["halt_pc1"]}
     for j in range(nb, n_rows):
-        _fill_cycle(trace, j, st, kernel, memory_ops, logic_ops)
+        _fill_cycle(trace, j, st, kernel, memory_ops, logic_ops, arith_ops)
     if int(trace[PROGRAM_COUNTER, n_rows - 1]) not in halt_pcs:
         raise _TraceFull
     return KernelExecution(cpu_trace=trace, memory_ops=memory_ops,
-                           logic_ops=logic_ops, sponge_ops=sponge_ops,
-                           final_state=st)
+                           logic_ops=logic_ops, arith_ops=arith_ops,
+                           sponge_ops=sponge_ops, final_state=st)
 
 
 def generate_kernel_execution(kernel: Kernel,

@@ -81,6 +81,9 @@ def test_execution_semantics():
     # AND produced one logic-table obligation: 0x09 AND 0x0f
     assert [(o.operator, o.input0, o.input1) for o in ex.logic_ops] \
         == [("and", 0x09, 0x0F)]
+    # the one-row arithmetic ops produced arithmetic-table obligations
+    assert [(o.op, o.input0, o.input1) for o in ex.arith_ops] \
+        == [("add", 5, 3), ("mul", 1, 42), ("sub", 42, 1)]
     # the trace ends inside the halt loop
     labels = kernel.global_labels
     last_pc = int(ex.cpu_trace[cpu_mod.PROGRAM_COUNTER, -1])
@@ -118,18 +121,26 @@ def test_all_stark_execution_prove_verify():
     verify_all_proof(all_stark, proof, config)
 
 
-@pytest.mark.slow
-def test_all_stark_execution_rejects_tampered_result():
-    """Flipping the AND result in the CPU trace must break the logic CTL."""
+def _tamper_op_result(op_name):
+    """Flip the claimed result (channel 2) of the single `op_name` row and
+    return traces; the matching CTL must break."""
     kernel = make_kernel()
     all_stark = ast_mod.make_all_stark_with_cpu(kernel)
     traces = ast_mod.generate_all_traces_with_cpu(kernel)
     cpu_trace = traces[0]
-    and_col = cpu_mod.OP["and_"]
-    rows = np.nonzero(cpu_trace[and_col])[0]
+    rows = np.nonzero(cpu_trace[cpu_mod.OP[op_name]])[0]
     assert len(rows) == 1
     ch2 = cpu_mod.MEM_CHANNELS[2]
     cpu_trace[ch2.value[0], rows[0]] ^= np.uint64(1)
+    return all_stark, traces
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("op_name", ["and_", "mul"])
+def test_all_stark_execution_rejects_tampered_result(op_name):
+    """Flipping the AND result must break the logic CTL; flipping the MUL
+    result must break the arithmetic CTL."""
+    all_stark, traces = _tamper_op_result(op_name)
     config = StarkConfig.standard_fast_config()
     with pytest.raises(Exception):
         proof = prove_all(all_stark, config, traces)
