@@ -446,10 +446,14 @@ class CpuStark(Stark):
             diff = alg.sub(alg.const(expected),
                            lv[MEM_CHANNELS[4].value[i]])
             yield_constr.constraint_transition(alg.mul(delta, diff))
-        # ... and is the sponge-lookup row; the flag may only fire there
+        # ... and is a sponge-lookup row; the flag fires there and on
+        # KECCAK_GENERAL cycle rows, which hash a memory range through the
+        # same sponge CTL (the reference only ever sets it on the bootstrap
+        # row because its CTLs ship disabled)
+        kg = alg.mul(lv[IS_CPU_CYCLE], lv[OP["keccak_general"]])
         yield_constr.constraint_transition(
-            alg.sub(lv[IS_KECCAK_SPONGE], alg.mul(delta, alg.sub(alg.zero(),
-                                                                 one))))
+            alg.sub(lv[IS_KECCAK_SPONGE],
+                    alg.add(alg.mul(delta, alg.sub(alg.zero(), one)), kg)))
 
         # flags are boolean; channel `used` is boolean (membus.rs:34-60)
         for c in ([IS_BOOTSTRAP_KERNEL, IS_CPU_CYCLE, IS_KECCAK_SPONGE,
@@ -896,6 +900,7 @@ class CpuStark(Stark):
         "xor": (2, True, True), "not_": (1, True, True),
         "byte": (2, True, True), "shl": (2, True, False),
         "shr": (2, True, False),
+        "keccak_general": (4, True, False),
         "jump": (1, False, False), "jumpi": (2, False, False),
         "pc": (0, True, True), "jumpdest": (0, False, True),
         "get_context": (0, True, True), "set_context": (1, False, True),

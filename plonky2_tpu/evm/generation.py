@@ -25,9 +25,11 @@ Supported op set: the ops with in-table constraint stages (PUSH, POP, DUP,
 SWAP, NOT, EQ, ISZERO, AND/OR/XOR via the logic CTL, GETPC, JUMPDEST,
 JUMP/JUMPI, GET/SET_CONTEXT, MLOAD/MSTORE_GENERAL) plus the 256-bit
 arithmetic ops: ADD/MUL/SUB/LT/GT results are bound to the arithmetic
-table via a live CTL (which the reference never wires); DIV/MOD execute
+table via a live CTL (which the reference never wires), and
+KECCAK_GENERAL hashes a memory range through the sponge CTL (digest
+pushed in the sponge's little-endian u32-limb encoding).  DIV/MOD execute
 but their two-row modular CTL is future work, as are SYSCALL /
-EXIT_KERNEL / KECCAK_GENERAL / PROVER_INPUT execution.
+EXIT_KERNEL / PROVER_INPUT execution.
 """
 from __future__ import annotations
 
@@ -124,7 +126,8 @@ _LOGIC = {0x16: "and", 0x17: "or", 0x18: "xor"}
 def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
                 memory_ops: List[MemoryOp],
                 logic_ops: List[LogicOp],
-                arith_ops: List[ArithOp]) -> None:
+                arith_ops: List[ArithOp],
+                sponge_ops: List[KeccakSpongeOp]) -> None:
     """Execute one instruction into trace row j and advance the state."""
     code = kernel.code
     pc = st.pc
@@ -234,6 +237,24 @@ def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
         wire_stack_op(trace, j, op, S, context=st.context)
         S.pop()
         st.pc = pc + 1
+    elif op == 0x21:                                 # KECCAK_GENERAL
+        from ..hash.keccak import keccak256
+        from .cpu import IS_KECCAK_SPONGE
+        ctx, seg, virt, length = S[-1], S[-2], S[-3], S[-4]
+        data = bytes(st.memory.get((ctx, seg, virt + i), 0) & 0xFF
+                     for i in range(length))
+        digest = keccak256(data)
+        # pushed as the sponge's u32-limb encoding (little-endian), the
+        # same encoding the sponge CTL exposes and the bootstrap row uses
+        value = int.from_bytes(digest, "little")
+        wire_stack_op(trace, j, op, S, push_value=value, context=st.context)
+        trace[IS_KECCAK_SPONGE, j] = 1
+        sponge_ops.append(KeccakSpongeOp(
+            context=ctx, segment=seg, virt=virt,
+            timestamp=j * NUM_CHANNELS, input=data))
+        del S[-4:]
+        S.append(value)
+        st.pc = pc + 1
     elif op == 0x58:                                 # GETPC
         wire_stack_op(trace, j, op, S, push_value=pc, context=st.context)
         S.append(pc)
@@ -314,7 +335,8 @@ def _generate(kernel: Kernel, n_rows: int) -> KernelExecution:
     arith_ops: List[ArithOp] = []
     halt_pcs = {labels["halt_pc0"], labels["halt_pc1"]}
     for j in range(nb, n_rows):
-        _fill_cycle(trace, j, st, kernel, memory_ops, logic_ops, arith_ops)
+        _fill_cycle(trace, j, st, kernel, memory_ops, logic_ops, arith_ops,
+                    sponge_ops)
     if int(trace[PROGRAM_COUNTER, n_rows - 1]) not in halt_pcs:
         raise _TraceFull
     return KernelExecution(cpu_trace=trace, memory_ops=memory_ops,

@@ -145,3 +145,82 @@ def test_all_stark_execution_rejects_tampered_result(op_name):
     with pytest.raises(Exception):
         proof = prove_all(all_stark, config, traces)
         verify_all_proof(all_stark, proof, config)
+
+
+KECCAK_KERNEL_SRC = """
+GLOBAL main:
+    PUSH 0x61
+    PUSH 0
+    PUSH 4
+    PUSH 0
+    MSTORE_GENERAL
+    PUSH 0x62
+    PUSH 1
+    PUSH 4
+    PUSH 0
+    MSTORE_GENERAL
+    PUSH 0x63
+    PUSH 2
+    PUSH 4
+    PUSH 0
+    MSTORE_GENERAL
+    PUSH 3
+    PUSH 0
+    PUSH 4
+    PUSH 0
+    KECCAK_GENERAL
+    POP
+GLOBAL halt_pc0:
+    PUSH halt_pc0
+GLOBAL halt_pc1:
+    JUMP
+"""
+
+
+def make_keccak_kernel():
+    return assemble([parse(KECCAK_KERNEL_SRC)], {}, optimize=False)
+
+
+def test_keccak_general_execution():
+    """KECCAK_GENERAL hashes stored memory bytes; the pushed digest is the
+    sponge's little-endian u32-limb encoding of keccak256."""
+    from plonky2_tpu.hash.keccak import keccak256
+    kernel = make_keccak_kernel()
+    ex = generate_kernel_execution(kernel)
+    assert trace_constraint_violations(cpu_mod.CpuStark(kernel),
+                                       ex.cpu_trace) == []
+    # two sponge ops: the bootstrap code hash and the executed one
+    assert len(ex.sponge_ops) == 2
+    assert ex.sponge_ops[1].input == b"abc"
+    rows = np.nonzero(ex.cpu_trace[cpu_mod.OP["keccak_general"]])[0]
+    assert len(rows) == 1
+    ch4 = cpu_mod.MEM_CHANNELS[4]
+    got = b"".join(
+        int(ex.cpu_trace[ch4.value[i], rows[0]]).to_bytes(4, "little")
+        for i in range(8))
+    assert got == keccak256(b"abc")
+
+
+@pytest.mark.slow
+def test_all_stark_keccak_general_prove_verify():
+    kernel = make_keccak_kernel()
+    all_stark = ast_mod.make_all_stark_with_cpu(kernel)
+    traces = ast_mod.generate_all_traces_with_cpu(kernel)
+    config = StarkConfig.standard_fast_config()
+    proof = prove_all(all_stark, config, traces)
+    verify_all_proof(all_stark, proof, config)
+
+
+@pytest.mark.slow
+def test_all_stark_keccak_general_rejects_wrong_digest():
+    kernel = make_keccak_kernel()
+    all_stark = ast_mod.make_all_stark_with_cpu(kernel)
+    traces = ast_mod.generate_all_traces_with_cpu(kernel)
+    cpu_trace = traces[0]
+    rows = np.nonzero(cpu_trace[cpu_mod.OP["keccak_general"]])[0]
+    ch4 = cpu_mod.MEM_CHANNELS[4]
+    cpu_trace[ch4.value[0], rows[0]] ^= np.uint64(1)
+    config = StarkConfig.standard_fast_config()
+    with pytest.raises(Exception):
+        proof = prove_all(all_stark, config, traces)
+        verify_all_proof(all_stark, proof, config)
