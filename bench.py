@@ -1,51 +1,62 @@
-"""Headline benchmark: batched Goldilocks NTT throughput on one chip.
+"""Headline benchmark: end-to-end plonky2 proof wall-clock on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the BASELINE.md north-star of 2^24 NTT elements/s/chip.
+Flagship metric: seconds to prove an ed25519-scale circuit (2^18 Poseidon
+gate rows, wide-ecc config: 234 wire polys, rate_bits=3, cap_height=4,
+28 FRI queries, PoW 16 — the reference's canonical GPU shape,
+cuda/test.cu:105-115) with a warm ProverSession.  Baseline: the reference's
+published 5 s GPU proof at this scale (BASELINE.md, README.md:14).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}
+(vs_baseline > 1 means faster than the reference's 5 s).
 """
 import json
+import os
 import time
-
-import numpy as np
 
 
 def main():
     import jax
 
-    from plonky2_tpu.field import gf_jax as gf
-    from plonky2_tpu.ops import ntt as jntt
+    from plonky2_tpu.models.hash_tree import build_hash_tree_circuit
+    from plonky2_tpu.plonk.config import CircuitConfig
+    from plonky2_tpu.runtime import ProverSession
+    from plonky2_tpu.utils.timing import TimingTree
 
     backend = jax.default_backend()
-    # shape: 16 polys x 2^18 (reference bench ballpark, cuda/test.cu:105-115)
-    batch, n = (16, 1 << 18) if backend != "cpu" else (4, 1 << 14)
-    rng = np.random.default_rng(0)
-    P = (1 << 64) - (1 << 32) + 1
-    polys = rng.integers(0, P, size=(batch, n), dtype=np.uint64)
-    lo, hi = gf.from_u64(polys)
-    # device-resident operands: the prover keeps polynomial state on-chip
-    # (mirrors the reference's resident device arena, fri/oracle.rs:94)
-    import jax.numpy as jnp
-    lo = jax.device_put(jnp.asarray(lo))
-    hi = jax.device_put(jnp.asarray(hi))
+    on_accel = backend != "cpu"
+    log2_leaves = int(os.environ.get(
+        "BENCH_LOG2_ROWS", "18" if on_accel else "6"))
 
-    step = jax.jit(lambda lo, hi: jntt.ntt((lo, hi)))
-    out = step(lo, hi)
-    jax.block_until_ready(out)  # compile + warmup
-
-    iters = 5
+    config = CircuitConfig.wide_ecc_config()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(lo, hi)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    data, pw, root = build_hash_tree_circuit(config, log2_leaves)
+    build_s = time.perf_counter() - t0
 
-    elems_per_s = batch * n / dt
-    baseline = float(1 << 24)  # BASELINE.md: 2^24 NTT elems/s/chip target
+    sess = ProverSession(data, use_device=on_accel)
+    t0 = time.perf_counter()
+    proof = sess.prove(pw)
+    cold_s = time.perf_counter() - t0
+    assert proof.public_inputs == root
+    sess.verify(proof)
+
+    timing = TimingTree("prove")
+    t0 = time.perf_counter()
+    proof = sess.prove(pw, timing=timing)
+    warm_s = time.perf_counter() - t0
+    sess.verify(proof)
+
+    phases = {c.name: round(c.duration, 3)
+              for c in timing.root.children if c.duration}
+    baseline_s = 5.0  # reference GPU headline at 2^18 x 234 (README.md:14)
     print(json.dumps({
-        "metric": f"goldilocks_ntt_throughput_b{batch}_n{n}_{backend}",
-        "value": round(elems_per_s, 1),
-        "unit": "elems/s",
-        "vs_baseline": round(elems_per_s / baseline, 3),
+        "metric": f"proof_seconds_2^{data.common.degree_bits()}rows_"
+                  f"{config.num_wires}wires_{backend}",
+        "value": round(warm_s, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / warm_s, 3),
+        "cold_seconds": round(cold_s, 3),
+        "build_seconds": round(build_s, 3),
+        "phases": phases,
     }))
 
 

@@ -225,8 +225,27 @@ def exp_u64(a: GF, e: int) -> GF:
 
 
 def inverse(a: GF) -> GF:
-    """Fermat inverse a^(p-2) (vectorized; ~100 muls)."""
-    return exp_u64(a, gl.P - 2)
+    """Fermat inverse a^(p-2), square-and-multiply under lax.fori_loop.
+
+    The loop keeps the traced graph O(1) (2 muls) instead of unrolling the
+    ~128-mul chain — unrolled inverses were the main XLA-compile-time cost
+    of the device FRI composition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    e = gl.P - 2
+    nbits = e.bit_length()
+    bits = jnp.asarray(np.array([(e >> (nbits - 1 - i)) & 1
+                                 for i in range(nbits)], dtype=np.uint32))
+
+    def body(i, acc):
+        acc = mul(acc, acc)
+        with_mul = mul(acc, a)
+        take = bits[i] == 1
+        return select(take, with_mul, acc)
+
+    return jax.lax.fori_loop(1, nbits, body, a)
 
 
 def select(pred, a: GF, b: GF) -> GF:

@@ -46,67 +46,150 @@ def _auto_device() -> bool:
 
 
 class PolynomialBatch:
-    def __init__(self, polynomials: np.ndarray, leaves: np.ndarray,
-                 merkle_tree: mk.MerkleTree, degree_log: int, rate_bits: int,
-                 blinding: bool):
-        self.polynomials = polynomials      # (B, degree) coefficient rows
-        self.leaves = leaves                # (lde_size, B+salt), bit-reversed rows
-        self.merkle_tree = merkle_tree
+    """Batched polynomial commitment.  On the device path everything —
+    coefficients, LDE leaf matrix, digest levels — stays resident as jax
+    arrays (reference fri/oracle.rs:403-460 keeps the same state in its GPU
+    arena); host views (`polynomials`, `leaves`) materialize lazily and only
+    if some host-side consumer asks."""
+
+    def __init__(self, polynomials: Optional[np.ndarray],
+                 leaves: Optional[np.ndarray], merkle_tree, degree_log: int,
+                 rate_bits: int, blinding: bool, coeffs_dev=None,
+                 leaves_dev=None):
+        self._polynomials = polynomials     # (B, degree) coefficient rows
+        self._leaves_host = leaves          # (lde_size, B+salt), bit-reversed
+        self.merkle_tree = merkle_tree      # host MerkleTree or DeviceMerkleTree
         self.degree_log = degree_log
         self.rate_bits = rate_bits
         self.blinding = blinding
+        self._coeffs_dev = coeffs_dev       # (B, degree) GF pair
+        self._leaves_dev = leaves_dev       # (lde_size, B+salt) GF pair
+
+    # -- residency views ---------------------------------------------------
+
+    @property
+    def polynomials(self) -> np.ndarray:
+        if self._polynomials is None:
+            from ..field import gf_jax as gf
+            self._polynomials = gf.to_u64(
+                (np.asarray(self._coeffs_dev[0]),
+                 np.asarray(self._coeffs_dev[1])))
+        return self._polynomials
+
+    @property
+    def leaves(self) -> np.ndarray:
+        if self._leaves_host is None:
+            from ..field import gf_jax as gf
+            self._leaves_host = gf.to_u64(
+                (np.asarray(self._leaves_dev[0]),
+                 np.asarray(self._leaves_dev[1])))
+        return self._leaves_host
+
+    def device_leaves(self):
+        """Leaf matrix as a resident (lo, hi) uint32 device pair
+        (reference merkle_tree.rs:59-63); uploaded once and cached when the
+        batch was built on host."""
+        if self._leaves_dev is None:
+            import jax
+            import jax.numpy as jnp
+
+            from ..field import gf_jax as gf
+            lo, hi = gf.from_u64(self.leaves)
+            self._leaves_dev = (jax.device_put(jnp.asarray(lo)),
+                                jax.device_put(jnp.asarray(hi)))
+        return self._leaves_dev
+
+    def device_coeffs(self):
+        if self._coeffs_dev is None:
+            import jax
+            import jax.numpy as jnp
+
+            from ..field import gf_jax as gf
+            lo, hi = gf.from_u64(self.polynomials)
+            self._coeffs_dev = (jax.device_put(jnp.asarray(lo)),
+                                jax.device_put(jnp.asarray(hi)))
+        return self._coeffs_dev
+
+    @property
+    def degree(self) -> int:
+        return 1 << self.degree_log
+
+    @property
+    def num_polys(self) -> int:
+        if self._coeffs_dev is not None:
+            return self._coeffs_dev[0].shape[0]
+        return self.polynomials.shape[0]
 
     # -- construction ------------------------------------------------------
 
     @staticmethod
-    def from_values(values: np.ndarray, rate_bits: int, blinding: bool,
+    def from_values(values, rate_bits: int, blinding: bool,
                     cap_height: int, use_device: bool | None = None,
                     salt_rng: Optional[np.random.Generator] = None,
                     hasher=POSEIDON_CONFIG) -> "PolynomialBatch":
-        values = np.asarray(values, dtype=np.uint64)
         if use_device is None:
             use_device = _auto_device()
         if not hasher.algebraic:
             use_device = False  # byte hashes (Keccak) run host-side
         if use_device:
             from ..field import gf_jax as gf
-            from ..ops.commit import commit_from_values
-            c, l, lv = commit_from_values(gf.from_u64(values), rate_bits, cap_height)
-            coeffs = gf.to_u64(c)
-            return PolynomialBatch._assemble(coeffs, gf.to_u64(l),
-                                             [gf.to_u64(x) for x in lv],
-                                             rate_bits, blinding, cap_height,
-                                             salt_rng, hasher)
+            from ..ops.commit import commit_from_values, device_salt
+            if isinstance(values, tuple):
+                pair, degree = values, values[0].shape[-1]
+            else:
+                values = np.asarray(values, dtype=np.uint64)
+                pair, degree = gf.from_u64(values), values.shape[-1]
+            salt = device_salt(degree << rate_bits,
+                               salt_rng=salt_rng) if blinding else None
+            c, l, lv = commit_from_values(pair, rate_bits, cap_height, salt)
+            return PolynomialBatch._assemble_device(
+                c, l, lv, degree, rate_bits, blinding, cap_height)
+        values = np.asarray(values, dtype=np.uint64)
         coeffs = fnp.ifft(values)
         return PolynomialBatch.from_coeffs(coeffs, rate_bits, blinding,
                                            cap_height, use_device=False,
                                            salt_rng=salt_rng, hasher=hasher)
 
     @staticmethod
-    def from_coeffs(polynomials: np.ndarray, rate_bits: int, blinding: bool,
+    def from_coeffs(polynomials, rate_bits: int, blinding: bool,
                     cap_height: int, use_device: bool | None = None,
                     salt_rng: Optional[np.random.Generator] = None,
                     hasher=POSEIDON_CONFIG) -> "PolynomialBatch":
-        polynomials = np.asarray(polynomials, dtype=np.uint64)
         if use_device is None:
             use_device = _auto_device()
         if not hasher.algebraic:
             use_device = False
         if use_device:
             from ..field import gf_jax as gf
-            from ..ops.commit import commit_from_coeffs
-            l, lv = commit_from_coeffs(gf.from_u64(polynomials), rate_bits,
-                                       cap_height)
-            return PolynomialBatch._assemble(polynomials, gf.to_u64(l),
-                                             [gf.to_u64(x) for x in lv],
-                                             rate_bits, blinding, cap_height,
-                                             salt_rng, hasher)
+            from ..ops.commit import commit_from_coeffs, device_salt
+            if isinstance(polynomials, tuple):
+                pair, degree = polynomials, polynomials[0].shape[-1]
+            else:
+                polynomials = np.asarray(polynomials, dtype=np.uint64)
+                pair = gf.from_u64(polynomials)
+                degree = polynomials.shape[-1]
+            salt = device_salt(degree << rate_bits,
+                               salt_rng=salt_rng) if blinding else None
+            l, lv = commit_from_coeffs(pair, rate_bits, cap_height, salt)
+            import jax.numpy as jnp
+            pair = (jnp.asarray(pair[0]), jnp.asarray(pair[1]))
+            return PolynomialBatch._assemble_device(
+                pair, l, lv, degree, rate_bits, blinding, cap_height)
+        polynomials = np.asarray(polynomials, dtype=np.uint64)
         lde = fnp.coset_fft(fnp.lde(polynomials, rate_bits))  # (B, lde_size)
         lde_size = lde.shape[-1]
         leaves = lde.T[bit_reverse_indices(lde_size)].copy()
         return PolynomialBatch._assemble(polynomials, leaves, None, rate_bits,
                                          blinding, cap_height, salt_rng,
                                          hasher)
+
+    @staticmethod
+    def _assemble_device(coeffs_dev, leaves_dev, levels_dev, degree,
+                         rate_bits, blinding, cap_height):
+        tree = mk.DeviceMerkleTree(leaves_dev, levels_dev, cap_height)
+        return PolynomialBatch(None, None, tree, log2_strict(degree),
+                               rate_bits, blinding, coeffs_dev=coeffs_dev,
+                               leaves_dev=leaves_dev)
 
     @staticmethod
     def _assemble(polynomials, leaves, levels, rate_bits, blinding, cap_height,

@@ -73,6 +73,8 @@ class ArithmeticGate(Gate):
 
 
 class ArithmeticBaseGenerator(SimpleGenerator):
+    batch_group = "arithmetic_base"
+
     def __init__(self, row, const_0, const_1, i):
         self.row = row
         self.const_0 = const_0
@@ -83,6 +85,18 @@ class ArithmeticBaseGenerator(SimpleGenerator):
         return [("w", self.row, ArithmeticGate.wire_ith_multiplicand_0(self.i)),
                 ("w", self.row, ArithmeticGate.wire_ith_multiplicand_1(self.i)),
                 ("w", self.row, ArithmeticGate.wire_ith_addend(self.i))]
+
+    def output_targets(self):
+        return [("w", self.row, ArithmeticGate.wire_ith_output(self.i))]
+
+    @classmethod
+    def run_batch(cls, gens, dep_vals):
+        import numpy as np
+        c0 = np.array([g.const_0 for g in gens], dtype=np.uint64)
+        c1 = np.array([g.const_1 for g in gens], dtype=np.uint64)
+        m0, m1, ad = dep_vals[:, 0], dep_vals[:, 1], dep_vals[:, 2]
+        val = gl.add(gl.mul(gl.mul(m0, m1), c0), gl.mul(ad, c1))
+        return val[:, None]
 
     def run_once(self, witness, out):
         m0 = witness.get_target(("w", self.row, ArithmeticGate.wire_ith_multiplicand_0(self.i)))

@@ -146,6 +146,8 @@ class PoseidonGate(Gate):
 
 
 class PoseidonGenerator(SimpleGenerator):
+    batch_group = "poseidon"
+
     def __init__(self, row):
         self.row = row
 
@@ -153,6 +155,70 @@ class PoseidonGenerator(SimpleGenerator):
         deps = [("w", self.row, wire_input(i)) for i in range(WIDTH)]
         deps.append(("w", self.row, WIRE_SWAP))
         return deps
+
+    def output_targets(self):
+        row = self.row
+        outs = [("w", row, wire_delta(i)) for i in range(4)]
+        for r in range(1, HALF):
+            outs += [("w", row, wire_full_sbox_0(r, i)) for i in range(WIDTH)]
+        outs += [("w", row, wire_partial_sbox(r)) for r in range(NPR)]
+        for r in range(HALF):
+            outs += [("w", row, wire_full_sbox_1(r, i)) for i in range(WIDTH)]
+        outs += [("w", row, wire_output(i)) for i in range(WIDTH)]
+        return outs
+
+    @classmethod
+    def run_batch(cls, gens, dep_vals):
+        """All ready Poseidon rows as ONE vectorized numpy permutation —
+        the same algebra-generic round functions as run_once, with (G,)
+        arrays instead of python ints (SURVEY §6 hard part (g))."""
+        import numpy as np
+
+        from ..plonk.algebra import NumpyBatch
+        alg = NumpyBatch()
+        inputs = [dep_vals[:, i].copy() for i in range(WIDTH)]
+        swap = dep_vals[:, WIDTH]
+        assert np.all((swap == 0) | (swap == 1))
+        cols = []
+        for i in range(4):
+            cols.append(gl.mul(swap, gl.sub(inputs[i + 4], inputs[i])))
+        do_swap = swap == 1
+        for i in range(4):
+            a, b = inputs[i], inputs[i + 4]
+            inputs[i] = np.where(do_swap, b, a)
+            inputs[i + 4] = np.where(do_swap, a, b)
+
+        state = list(inputs)
+        round_ctr = 0
+        for r in range(HALF):
+            state = ps.constant_layer(alg, state, round_ctr)
+            if r != 0:
+                cols.extend(np.broadcast_to(s, swap.shape) for s in state)
+            state = ps.sbox_layer(alg, state)
+            state = ps.mds_layer(alg, state)
+            round_ctr += 1
+
+        state = ps.partial_first_constant_layer(alg, state)
+        state = ps.mds_partial_layer_init(alg, state)
+        for r in range(NPR - 1):
+            cols.append(np.broadcast_to(state[0], swap.shape))
+            s0 = ps.sbox_monomial(alg, state[0])
+            s0 = alg.add_const(s0, int(ps.FAST_PARTIAL_ROUND_CONSTANTS[r]))
+            state = ps.mds_partial_layer_fast(alg, [s0] + state[1:], r)
+        cols.append(np.broadcast_to(state[0], swap.shape))
+        s0 = ps.sbox_monomial(alg, state[0])
+        state = ps.mds_partial_layer_fast(alg, [s0] + state[1:], NPR - 1)
+        round_ctr += NPR
+
+        for r in range(HALF):
+            state = ps.constant_layer(alg, state, round_ctr)
+            cols.extend(np.broadcast_to(s, swap.shape) for s in state)
+            state = ps.sbox_layer(alg, state)
+            state = ps.mds_layer(alg, state)
+            round_ctr += 1
+
+        cols.extend(np.broadcast_to(s, swap.shape) for s in state)
+        return np.stack(cols, axis=1)
 
     def run_once(self, witness, out):
         alg = ScalarBase()

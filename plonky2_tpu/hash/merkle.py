@@ -83,6 +83,71 @@ class MerkleTree:
         return MerkleProof(siblings)
 
 
+class DeviceMerkleTree:
+    """Merkle tree whose leaves and digest levels stay resident on the
+    device — the reference's defining GPU memory design
+    (merkle_tree.rs:59-63, fri/oracle.rs:426-460): only the cap is copied
+    back at construction; query rows and sibling paths are fetched on
+    demand, batched across all FRI queries by :meth:`prefetch`.
+
+    Exposes the same ``cap`` / ``get`` / ``prove`` surface as the host
+    MerkleTree so the FRI query phase is oblivious to residency."""
+
+    def __init__(self, leaves_dev, levels_dev, cap_height: int):
+        from ..field import gf_jax as gf
+        self.leaves_dev = leaves_dev        # (N, L) GF pair
+        self.levels_dev = levels_dev        # list of (Nk, 4) GF pairs
+        self.cap_height = cap_height
+        self.cap = MerkleCap(gf.to_u64(levels_dev[-1]))
+        self._rows: dict = {}
+        self._paths: dict = {}
+
+    @property
+    def num_leaves(self) -> int:
+        return self.leaves_dev[0].shape[0]
+
+    def num_layers(self) -> int:
+        return log2_strict(self.num_leaves) - self.cap_height
+
+    def prefetch(self, indices) -> None:
+        """Fetch leaf rows + full sibling paths for many indices in one
+        device round-trip per array (vs per-query host walks)."""
+        import jax.numpy as jnp
+
+        from ..field import gf_jax as gf
+        indices = [int(i) for i in indices]
+        todo = [i for i in indices if i not in self._rows]
+        if not todo:
+            return
+        idx = jnp.asarray(np.array(todo, dtype=np.int64))
+        lo = jnp.take(self.leaves_dev[0], idx, axis=0)
+        hi = jnp.take(self.leaves_dev[1], idx, axis=0)
+        sib = []
+        cur = np.array(todo, dtype=np.int64)
+        for layer in range(self.num_layers()):
+            lidx = jnp.asarray(cur ^ 1)
+            lvl = self.levels_dev[layer]
+            sib.append((jnp.take(lvl[0], lidx, axis=0),
+                        jnp.take(lvl[1], lidx, axis=0)))
+            cur >>= 1
+        rows = gf.to_u64((np.asarray(lo), np.asarray(hi)))
+        paths = [gf.to_u64((np.asarray(s[0]), np.asarray(s[1])))
+                 for s in sib]
+        for k, i in enumerate(todo):
+            self._rows[i] = rows[k]
+            self._paths[i] = [p[k] for p in paths]
+
+    def get(self, i: int) -> np.ndarray:
+        if i not in self._rows:
+            self.prefetch([i])
+        return self._rows[i]
+
+    def prove(self, leaf_index: int) -> MerkleProof:
+        if leaf_index not in self._paths:
+            self.prefetch([leaf_index])
+        return MerkleProof([s.copy() for s in self._paths[leaf_index]])
+
+
 def verify_merkle_proof_to_cap(leaf: np.ndarray, leaf_index: int,
                                cap: MerkleCap, proof: MerkleProof,
                                hasher=POSEIDON_CONFIG) -> bool:

@@ -38,20 +38,39 @@ class OpeningSet:
             zs_partial_products_commitment, quotient_polys_commitment,
             common_data) -> "OpeningSet":
         zeta_next = ge.s_mul(zeta, (g, 0))
-        cs_eval = eval_polys_ext(constants_sigmas_commitment.polynomials, zeta)
-        zspp_eval = eval_polys_ext(zs_partial_products_commitment.polynomials, zeta)
-        zspp_next = eval_polys_ext(
-            zs_partial_products_commitment.polynomials[list(common_data.zs_range())],
-            zeta_next)
+        if wires_commitment._coeffs_dev is not None:
+            # device dot against point powers; only (B, 2) values come back
+            from ..ops.openings import (eval_device_polys_ext,
+                                        ext_powers_host)
+            n = 1 << wires_commitment.degree_log
+            zp = ext_powers_host(zeta, n)
+            zpn = ext_powers_host(zeta_next, n)
+            cs_eval = eval_device_polys_ext(constants_sigmas_commitment, zp)
+            zspp_eval = eval_device_polys_ext(zs_partial_products_commitment,
+                                              zp)
+            zspp_next = eval_device_polys_ext(zs_partial_products_commitment,
+                                              zpn)[list(common_data.zs_range())]
+            wires_eval = eval_device_polys_ext(wires_commitment, zp)
+            q_eval = eval_device_polys_ext(quotient_polys_commitment, zp)
+        else:
+            cs_eval = eval_polys_ext(constants_sigmas_commitment.polynomials,
+                                     zeta)
+            zspp_eval = eval_polys_ext(
+                zs_partial_products_commitment.polynomials, zeta)
+            zspp_next = eval_polys_ext(
+                zs_partial_products_commitment.polynomials[
+                    list(common_data.zs_range())], zeta_next)
+            wires_eval = eval_polys_ext(wires_commitment.polynomials, zeta)
+            q_eval = eval_polys_ext(quotient_polys_commitment.polynomials,
+                                    zeta)
         return OpeningSet(
             constants=cs_eval[list(common_data.constants_range())],
             plonk_sigmas=cs_eval[list(common_data.sigmas_range())],
-            wires=eval_polys_ext(wires_commitment.polynomials, zeta),
+            wires=wires_eval,
             plonk_zs=zspp_eval[list(common_data.zs_range())],
             plonk_zs_next=zspp_next,
             partial_products=zspp_eval[list(common_data.partial_products_range())],
-            quotient_polys=eval_polys_ext(quotient_polys_commitment.polynomials,
-                                          zeta))
+            quotient_polys=q_eval)
 
     def to_fri_openings(self) -> FriOpenings:
         zeta_values = np.concatenate([

@@ -31,6 +31,9 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
           timing=None, session=None) -> ProofWithPublicInputs:
     from ..utils.timing import NoopTimingTree
     timing = timing if timing is not None else NoopTimingTree()
+    if use_device is None:
+        from ..fri.oracle import _auto_device
+        use_device = _auto_device()
     config = common_data.config
     num_challenges = config.num_challenges
     quotient_degree = common_data.quotient_degree()
@@ -74,19 +77,22 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
 
     alphas = challenger.get_n_challenges(num_challenges)
 
+    n_chunks = num_challenges * common_data.quotient_degree_factor
     with timing.scope("compute quotient polys"):
         if session is not None and session.quotient_on_device:
-            quotient_polys = session.compute_quotient_polys(
+            q_pair = session.compute_quotient_polys(
                 public_inputs_hash, wires_commitment,
                 zs_partial_products_commitment, betas, gammas, alphas)
+            # split each quotient poly (8n coeffs) into degree-n chunks,
+            # still on device — no host round-trip
+            chunks = (q_pair[0].reshape(n_chunks, degree),
+                      q_pair[1].reshape(n_chunks, degree))
         else:
             quotient_polys = _compute_quotient_polys(
                 common_data, prover_data, public_inputs_hash,
                 wires_commitment, zs_partial_products_commitment, betas,
                 gammas, alphas)
-    # split each quotient poly (8n coeffs) into degree-n chunks
-    chunks = quotient_polys.reshape(
-        num_challenges * common_data.quotient_degree_factor, degree)
+            chunks = quotient_polys.reshape(n_chunks, degree)
 
     with timing.scope("commit to quotient polys"):
         quotient_polys_commitment = PolynomialBatch.from_coeffs(
@@ -105,14 +111,21 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
                                   zs_partial_products_commitment,
                                   quotient_polys_commitment, common_data)
     from ..fri.challenges import observe_openings
-    observe_openings(challenger, openings.to_fri_openings())
+    fri_openings = openings.to_fri_openings()
+    observe_openings(challenger, fri_openings)
 
+    oracles = [prover_data.constants_sigmas_commitment, wires_commitment,
+               zs_partial_products_commitment, quotient_polys_commitment]
     with timing.scope("compute opening proofs"):
-        opening_proof = PolynomialBatch.prove_openings(
-            common_data.get_fri_instance(zeta),
-            [prover_data.constants_sigmas_commitment, wires_commitment,
-             zs_partial_products_commitment, quotient_polys_commitment],
-            challenger, common_data.fri_params, hasher=gc)
+        if use_device and gc.algebraic:
+            from ..fri.device_prover import device_prove_openings
+            opening_proof = device_prove_openings(
+                common_data.get_fri_instance(zeta), oracles, fri_openings,
+                challenger, common_data.fri_params, hasher=gc)
+        else:
+            opening_proof = PolynomialBatch.prove_openings(
+                common_data.get_fri_instance(zeta), oracles, challenger,
+                common_data.fri_params, hasher=gc)
 
     return ProofWithPublicInputs(
         proof=Proof(

@@ -51,7 +51,6 @@ def test_session_prove_matches_host(fib, seeded):
     assert serialize_proof(proof) == serialize_proof(host_proof)
 
 
-@pytest.mark.heavy
 def test_device_quotient_plumbing_matches_host(fib, seeded, monkeypatch):
     """Exercise the device quotient path (row gathering, next-row roll,
     challenge lifting, coset iNTT) against the host path with the gate
@@ -74,9 +73,8 @@ def test_device_quotient_plumbing_matches_host(fib, seeded, monkeypatch):
     assert serialize_proof(dev_proof) == serialize_proof(host_proof)
 
 
-@pytest.mark.heavy
 def test_device_quotient_full_byte_identical(fib, seeded):
-    """Full device quotient (includes the ~20-minute one-time gate trace)."""
+    """Full device quotient via the compiled constraint program (fast)."""
     data, pw = fib
     seeded.seed(0x5EED)
     host_proof = data.prove(pw)
