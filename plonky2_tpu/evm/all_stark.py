@@ -209,8 +209,8 @@ def make_all_stark_with_cpu(kernel) -> AllStark:
         cross_table_lookups=all_cross_table_lookups_with_cpu())
 
 
-def generate_all_traces_with_cpu(kernel, min_rows: int = 8
-                                 ) -> List[np.ndarray]:
+def generate_all_traces_with_cpu(kernel, min_rows: int = 8,
+                                 execution=None) -> List[np.ndarray]:
     """Witness generation for the 5-table system: the CPU bootstraps the
     kernel into memory, the sponge hashes it, and the CPU looks up the
     resulting code digest (reference generation/ + bootstrap_kernel.rs).
@@ -221,9 +221,11 @@ def generate_all_traces_with_cpu(kernel, min_rows: int = 8
     from .arithmetic import ArithmeticStark
     from .cpu import generate_bootstrap_kernel
     labels = kernel.global_labels
-    if all(k in labels for k in ("main", "halt_pc0", "halt_pc1")):
+    if execution is not None or all(
+            k in labels for k in ("main", "halt_pc0", "halt_pc1")):
         from .generation import generate_kernel_execution
-        ex = generate_kernel_execution(kernel, min_rows=min_rows)
+        ex = execution if execution is not None else \
+            generate_kernel_execution(kernel, min_rows=min_rows)
         cpu_trace, cpu_memory_ops = ex.cpu_trace, ex.memory_ops
         sponge_ops, cpu_logic_ops = ex.sponge_ops, ex.logic_ops
         cpu_arith_ops = ex.arith_ops

@@ -96,6 +96,41 @@ DIV_OUTPUT = MODULAR_QUO_INPUT_LO
 
 NUM_ARITH_COLUMNS = START_SHARED_COLS + NUM_SHARED_COLS
 
+# --- 16-bit range-check extension (closes the reference's no-op
+# ``range_check_error!`` hole, utils.rs:10-31; mechanism follows
+# system_zero/src/lookup.rs permuted-column lookups).
+#
+# The CTL binds (input0, input1, result) = GENERAL_INPUT_0..2 on one-row
+# op rows; an out-of-range limb there would forge a different 256-bit
+# value through the lookup.  Each of those 48 limb columns gets a MASKED
+# copy (limb * one-row-op filter — the aux ranges legitimately hold
+# signed values on mul/modular rows and must not be range-checked), and
+# each masked copy is looked up in a 0..2^16-1 counter column.  Enabling
+# this requires trace height >= 2^16 so the counter can cover the table;
+# it is therefore an option (production scale) rather than the default
+# (unit-test scale), unlike the always-on system_zero lookup whose table
+# is sized 2^16 by design.
+RC_CHECKED_COLS = (list(GENERAL_INPUT_0) + list(GENERAL_INPUT_1)
+                   + list(GENERAL_INPUT_2))
+NUM_RC_CHECKED = len(RC_CHECKED_COLS)
+RANGE_COUNTER = NUM_ARITH_COLUMNS
+
+
+def rc_masked_col(i: int) -> int:
+    return RANGE_COUNTER + 1 + i
+
+
+def rc_perm_input_col(i: int) -> int:
+    return RANGE_COUNTER + 1 + NUM_RC_CHECKED + 2 * i
+
+
+def rc_perm_table_col(i: int) -> int:
+    return rc_perm_input_col(i) + 1
+
+
+NUM_ARITH_RC_COLUMNS = RANGE_COUNTER + 1 + 3 * NUM_RC_CHECKED
+RC_MIN_ROWS = 1 << LIMB_BITS
+
 
 # --- limb codecs ----------------------------------------------------------
 
@@ -221,23 +256,49 @@ class ArithmeticStark(Stark):
     COLUMNS = NUM_ARITH_COLUMNS
     PUBLIC_INPUTS = 0
 
+    def __init__(self, range_check: bool = False):
+        """With ``range_check``, the CTL-bound limb columns are 16-bit
+        range-checked via permuted-column lookups (see RC_CHECKED_COLS
+        comment); requires traces of height >= 2^16."""
+        self.range_check = range_check
+        if range_check:
+            self.COLUMNS = NUM_ARITH_RC_COLUMNS
+
     # --- trace generation (exact python-int arithmetic) -------------------
 
     def generate_trace(self, operations: List[Operation],
                        min_rows: int = 8) -> np.ndarray:
         rows_needed = sum(op.num_rows() for op in operations)
+        if self.range_check:
+            min_rows = max(min_rows, RC_MIN_ROWS)
         n = max(rows_needed, min_rows)
         n = 1 << (n - 1).bit_length()
         # Always keep ≥1 padding row so a modular op never sits on the
         # final row (its constraints read the next row).
         if rows_needed == n and any(o.op in MODULAR_OPS for o in operations):
             n *= 2
-        trace = np.zeros((NUM_ARITH_COLUMNS, n), dtype=np.uint64)
+        trace = np.zeros((self.COLUMNS, n), dtype=np.uint64)
         j = 0
         for op in operations:
             self._generate_row(trace, j, op)
             j += op.num_rows()
+        if self.range_check:
+            self._generate_range_check(trace)
         return trace
+
+    def _generate_range_check(self, trace: np.ndarray) -> None:
+        from ..system_zero.lookup import permuted_cols
+        n = trace.shape[1]
+        assert n >= RC_MIN_ROWS, "range_check needs >= 2^16 rows"
+        clock = np.arange(n, dtype=np.uint64)
+        trace[RANGE_COUNTER] = np.minimum(clock, np.uint64(MASK))
+        filt = trace[CTL_OPS].sum(axis=0)       # one-row CTL-bound ops
+        for i, col in enumerate(RC_CHECKED_COLS):
+            masked = np.where(filt != 0, trace[col], 0).astype(np.uint64)
+            trace[rc_masked_col(i)] = masked
+            pi, pt = permuted_cols(masked, trace[RANGE_COUNTER])
+            trace[rc_perm_input_col(i)] = pi
+            trace[rc_perm_table_col(i)] = pt
 
     def _generate_row(self, trace: np.ndarray, j: int, op: Operation):
         trace[_FLAG_OF[op.op], j] = 1
@@ -340,6 +401,47 @@ class ArithmeticStark(Stark):
         self._eval_mul(alg, lv, yield_constr)
         self._eval_cmp(alg, lv, yield_constr)
         self._eval_modular(alg, lv, nv, yield_constr)
+        if self.range_check:
+            self._eval_range_check(alg, vars, yield_constr)
+
+    def _eval_range_check(self, alg, vars, yield_constr) -> None:
+        """Counter column + Halo2 permuted-column lookups
+        (system_zero/src/lookup.rs:107-131)."""
+        lv, nv = vars.local_values, vars.next_values
+        one = alg.one()
+        c, cn = lv[RANGE_COUNTER], nv[RANGE_COUNTER]
+        yield_constr.constraint_first_row(c)
+        delta = alg.sub(cn, c)
+        yield_constr.constraint_transition(
+            alg.mul(delta, alg.sub(delta, one)))
+        yield_constr.constraint_last_row(alg.add_const(c, gl.P - MASK))
+
+        filt = None
+        for f in CTL_OPS:
+            filt = lv[f] if filt is None else alg.add(filt, lv[f])
+        for i, col in enumerate(RC_CHECKED_COLS):
+            # masked copy is limb * filter (aux rows contribute 0)
+            yield_constr.constraint(alg.sub(lv[rc_masked_col(i)],
+                                            alg.mul(filt, lv[col])))
+            local_pi = lv[rc_perm_input_col(i)]
+            next_pi = nv[rc_perm_input_col(i)]
+            next_pt = nv[rc_perm_table_col(i)]
+            diff_prev = alg.sub(next_pi, local_pi)
+            diff_tab = alg.sub(next_pi, next_pt)
+            yield_constr.constraint(alg.mul(diff_prev, diff_tab))
+            yield_constr.constraint_last_row(diff_tab)
+
+    def permutation_pairs(self):
+        if not self.range_check:
+            return []
+        from ..stark.stark import PermutationPair
+        pairs = []
+        for i in range(NUM_RC_CHECKED):
+            pairs.append(PermutationPair.singletons(rc_masked_col(i),
+                                                    rc_perm_input_col(i)))
+            pairs.append(PermutationPair.singletons(RANGE_COUNTER,
+                                                    rc_perm_table_col(i)))
+        return pairs
 
     def _are_equal(self, alg, yield_constr, is_op, larger, smaller,
                    is_two_row_op: bool):

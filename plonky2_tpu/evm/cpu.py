@@ -901,6 +901,7 @@ class CpuStark(Stark):
         "byte": (2, True, True), "shl": (2, True, False),
         "shr": (2, True, False),
         "keccak_general": (4, True, False),
+        "prover_input": (0, True, True),
         "jump": (1, False, False), "jumpi": (2, False, False),
         "pc": (0, True, True), "jumpdest": (0, False, True),
         "get_context": (0, True, True), "set_context": (1, False, True),

@@ -27,9 +27,10 @@ JUMP/JUMPI, GET/SET_CONTEXT, MLOAD/MSTORE_GENERAL) plus the 256-bit
 arithmetic ops: ADD/MUL/SUB/LT/GT results are bound to the arithmetic
 table via a live CTL (which the reference never wires), and
 KECCAK_GENERAL hashes a memory range through the sponge CTL (digest
-pushed in the sponge's little-endian u32-limb encoding).  DIV/MOD execute
-but their two-row modular CTL is future work, as are SYSCALL /
-EXIT_KERNEL / PROVER_INPUT execution.
+pushed in the sponge's little-endian u32-limb encoding).  PROVER_INPUT
+executes through a pluggable provider (evm/block.py BlockProverInputs,
+reference generation/prover_input.rs).  DIV/MOD execute but their two-row
+modular CTL is future work, as are SYSCALL / EXIT_KERNEL execution.
 """
 from __future__ import annotations
 
@@ -66,6 +67,9 @@ class ExecState:
     context: int = 0
     # sparse general memory: (context, segment, virtual) -> u256
     memory: Dict[Tuple[int, int, int], int] = field(default_factory=dict)
+    # PROVER_INPUT dispatch: callable(fn_tuple, state) -> int
+    # (reference generation/prover_input.rs; evm/block.py BlockProverInputs)
+    prover_input: object = None
 
 
 @dataclass
@@ -255,6 +259,17 @@ def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
         del S[-4:]
         S.append(value)
         st.pc = pc + 1
+    elif op == 0x49:                                 # PROVER_INPUT
+        if st.prover_input is None:
+            raise ValueError("PROVER_INPUT executed without a prover-input "
+                             "provider (pass prover_input_factory)")
+        fn = kernel.prover_inputs.get(pc)
+        if fn is None:
+            raise ValueError(f"no PROVER_INPUT fn recorded at pc {pc}")
+        val = int(st.prover_input(fn, st)) & MASK256
+        wire_stack_op(trace, j, op, S, push_value=val, context=st.context)
+        S.append(val)
+        st.pc = pc + 1
     elif op == 0x58:                                 # GETPC
         wire_stack_op(trace, j, op, S, push_value=pc, context=st.context)
         S.append(pc)
@@ -319,7 +334,8 @@ def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
     _channel_mem_ops(trace, j, memory_ops)
 
 
-def _generate(kernel: Kernel, n_rows: int) -> KernelExecution:
+def _generate(kernel: Kernel, n_rows: int,
+              prover_input_factory=None) -> KernelExecution:
     labels = kernel.global_labels
     boot_trace, memory_ops, sponge_ops = \
         generate_bootstrap_kernel(kernel, min_rows=2)
@@ -330,7 +346,9 @@ def _generate(kernel: Kernel, n_rows: int) -> KernelExecution:
     trace[:, :nb] = boot_trace[:, :nb]
     trace[CLOCK] = np.arange(n_rows, dtype=np.uint64)
 
-    st = ExecState(pc=labels["main"])
+    st = ExecState(pc=labels["main"],
+                   prover_input=(prover_input_factory()
+                                 if prover_input_factory else None))
     logic_ops: List[LogicOp] = []
     arith_ops: List[ArithOp] = []
     halt_pcs = {labels["halt_pc0"], labels["halt_pc1"]}
@@ -344,8 +362,8 @@ def _generate(kernel: Kernel, n_rows: int) -> KernelExecution:
                            sponge_ops=sponge_ops, final_state=st)
 
 
-def generate_kernel_execution(kernel: Kernel,
-                              min_rows: int = 8) -> KernelExecution:
+def generate_kernel_execution(kernel: Kernel, min_rows: int = 8,
+                              prover_input_factory=None) -> KernelExecution:
     """Execute `kernel` from its ``main`` label and return the CPU trace
     plus the memory/logic/sponge witness it implies.  The kernel must define
     ``main``, ``halt_pc0`` and ``halt_pc1`` labels, with the halt loop
@@ -364,6 +382,6 @@ def generate_kernel_execution(kernel: Kernel,
     n_rows = 1 << (n_rows - 1).bit_length()
     while True:
         try:
-            return _generate(kernel, n_rows)
+            return _generate(kernel, n_rows, prover_input_factory)
         except _TraceFull:
             n_rows *= 2

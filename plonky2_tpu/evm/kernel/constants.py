@@ -27,9 +27,14 @@ GAS_CONSTANTS = {
 
 
 def evm_constants() -> Dict[str, int]:
+    import re
     c: Dict[str, int] = {}
     c.update(EC_CONSTANTS)
     c.update(GAS_CONSTANTS)
     for seg in Segment:
         c[f"SEGMENT_{seg.name.upper()}"] = int(seg)
+        # reference-style snake-case alias (segments.rs:73-90), e.g.
+        # GlobalMetadata -> SEGMENT_GLOBAL_METADATA
+        snake = re.sub(r"(?<!^)(?=[A-Z0-9])", "_", seg.name).upper()
+        c[f"SEGMENT_{snake}"] = int(seg)
     return c

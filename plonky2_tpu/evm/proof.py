@@ -49,3 +49,7 @@ class EvmStarkProof:
 class AllProof:
     stark_proofs: List[EvmStarkProof]
     degree_bits: List[int]
+    # block-level public values (trie roots + metadata), present when the
+    # proof came from GenerationInputs (reference proof.rs AllProof carries
+    # PublicValues the same way)
+    public_values: Optional[object] = None

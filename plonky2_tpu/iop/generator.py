@@ -147,7 +147,8 @@ class _GenCache:
         self.slot = np.zeros(n, dtype=np.int64)     # index within its group
         scalars = []
         for i, g in enumerate(generators):
-            bg = type(g).batch_group
+            # duck-typed: SwitchGenerator et al. are raw WitnessGenerators
+            bg = getattr(type(g), "batch_group", None)
             if bg is None:
                 scalars.append(i)
                 continue
