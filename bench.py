@@ -17,6 +17,11 @@ import time
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from plonky2_tpu.models.hash_tree import build_hash_tree_circuit
     from plonky2_tpu.plonk.config import CircuitConfig
     from plonky2_tpu.runtime import ProverSession
@@ -28,8 +33,17 @@ def main():
         "BENCH_LOG2_ROWS", "18" if on_accel else "6"))
 
     config = CircuitConfig.wide_ecc_config()
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              f".bench_cache/hash_tree_k{log2_leaves}.pkl")
     t0 = time.perf_counter()
-    data, pw, root = build_hash_tree_circuit(config, log2_leaves)
+    from plonky2_tpu.utils.circuit_cache import load_circuit, save_circuit
+    cached = load_circuit(cache_path, use_device=on_accel)
+    if cached is not None:
+        data, (pw, root) = cached
+    else:
+        data, pw, root = build_hash_tree_circuit(config, log2_leaves)
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        save_circuit(cache_path, data, extra=(pw, root))
     build_s = time.perf_counter() - t0
 
     sess = ProverSession(data, use_device=on_accel)

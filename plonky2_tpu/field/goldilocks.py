@@ -118,8 +118,43 @@ def exp_u64(a: np.ndarray, e: int) -> np.ndarray:
 
 
 def inverse(a: np.ndarray) -> np.ndarray:
-    """Fermat inverse a^(p-2); inverse(0) == 0 by convention (never used)."""
-    return exp_u64(a, P - 2)
+    """Elementwise inverse; inverse(0) == 0 by convention (never hit on
+    honest traces).
+
+    Small inputs use the Fermat chain (~96 vector muls).  Large arrays use
+    a vectorized Montgomery batch inversion (prefix products over blocks of
+    64 lanes + ONE Fermat inverse on the 64x-smaller block-product column
+    + backward unwinding): ~3 muls per element instead of ~96 — the
+    difference between milliseconds and minutes for the prover's
+    (degree x num_routed_wires) denominator inversions at 2^18 scale."""
+    arr = np.asarray(a, dtype=_U64)
+    if arr.size <= 4096:
+        return exp_u64(arr, P - 2)
+    block = 64
+    flat = arr.reshape(-1)
+    n = flat.shape[0]
+    m = -(-n // block)
+    pad = m * block - n
+    if pad:
+        flat = np.concatenate([flat, np.ones(pad, dtype=_U64)])
+    zeros = flat == 0
+    if zeros.any():
+        flat = np.where(zeros, _U64(1), flat)
+    cols = flat.reshape(m, block)
+    prefix = np.empty_like(cols)            # prefix[:, j] = prod cols[:, :j]
+    acc = np.ones(m, dtype=_U64)
+    for j in range(block):
+        prefix[:, j] = acc
+        acc = mul(acc, cols[:, j])
+    inv_acc = exp_u64(acc, P - 2)           # (m,) Fermat on the block products
+    out = np.empty_like(cols)
+    for j in range(block - 1, -1, -1):
+        out[:, j] = mul(inv_acc, prefix[:, j])
+        inv_acc = mul(inv_acc, cols[:, j])
+    res = out.reshape(-1)
+    if zeros.any():
+        res = np.where(zeros, _U64(0), res)
+    return res[:n].reshape(arr.shape)
 
 
 def batch_multiplicative_inverse(a: np.ndarray) -> np.ndarray:

@@ -173,8 +173,8 @@ def device_composition(instance, oracles, alpha, openings_batches,
 
     # rbz/zs/shifts stored at [..., 0, :]; reshape into (n_batches, 2) ext
     def pair3(arr):          # (n_batches, 2, 2) -> GF pair of (n_batches, 2)
-        lo, hi = gf.from_u64(arr[:, 0, :])
-        return jnp.asarray(lo), jnp.asarray(hi)
+        # numpy pair: shipped with the jit call (no eager transfer latency)
+        return gf.from_u64(arr[:, 0, :])
 
     w_dev = []
     for wb in weights:
@@ -183,8 +183,7 @@ def device_composition(instance, oracles, alpha, openings_batches,
             if w is None:
                 row.append(None)
             else:
-                lo, hi = gf.from_u64(w)
-                row.append((jnp.asarray(lo), jnp.asarray(hi)))
+                row.append(gf.from_u64(w))
         w_dev.append(row)
 
     fn = _composition_fn(tuple(key_cols), lde_bits,
@@ -267,7 +266,7 @@ def device_fri_committed_trees(coeffs, values_br, challenger: Challenger,
 
         beta = challenger.get_extension_challenge()
         blo, bhi = gf.from_u64(np.array(beta, dtype=np.uint64))
-        beta_pair = jnp.asarray(np.stack([blo, bhi]))     # (2, 2)
+        beta_pair = np.stack([blo, bhi])                  # (2, 2)
         values_br, coeffs = fold(coeffs, beta_pair)
         shift = next_shift
         n //= arity

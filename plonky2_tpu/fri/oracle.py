@@ -90,13 +90,9 @@ class PolynomialBatch:
         (reference merkle_tree.rs:59-63); uploaded once and cached when the
         batch was built on host."""
         if self._leaves_dev is None:
-            import jax
-            import jax.numpy as jnp
-
             from ..field import gf_jax as gf
-            lo, hi = gf.from_u64(self.leaves)
-            self._leaves_dev = (jax.device_put(jnp.asarray(lo)),
-                                jax.device_put(jnp.asarray(hi)))
+            from ..runtime.meshctx import put_pair
+            self._leaves_dev = put_pair(gf.from_u64(self.leaves), axis=0)
         return self._leaves_dev
 
     def device_coeffs(self):
@@ -134,11 +130,13 @@ class PolynomialBatch:
         if use_device:
             from ..field import gf_jax as gf
             from ..ops.commit import commit_from_values, device_salt
+            from ..runtime.meshctx import put_pair
             if isinstance(values, tuple):
                 pair, degree = values, values[0].shape[-1]
             else:
                 values = np.asarray(values, dtype=np.uint64)
                 pair, degree = gf.from_u64(values), values.shape[-1]
+                pair = put_pair(pair, axis=1)   # intra-poly mesh axis
             salt = device_salt(degree << rate_bits,
                                salt_rng=salt_rng) if blinding else None
             c, l, lv = commit_from_values(pair, rate_bits, cap_height, salt)
@@ -162,11 +160,12 @@ class PolynomialBatch:
         if use_device:
             from ..field import gf_jax as gf
             from ..ops.commit import commit_from_coeffs, device_salt
+            from ..runtime.meshctx import put_pair
             if isinstance(polynomials, tuple):
                 pair, degree = polynomials, polynomials[0].shape[-1]
             else:
                 polynomials = np.asarray(polynomials, dtype=np.uint64)
-                pair = gf.from_u64(polynomials)
+                pair = put_pair(gf.from_u64(polynomials), axis=1)
                 degree = polynomials.shape[-1]
             salt = device_salt(degree << rate_bits,
                                salt_rng=salt_rng) if blinding else None

@@ -13,6 +13,7 @@ produces exactly these levels.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import List
 
@@ -83,6 +84,34 @@ class MerkleTree:
         return MerkleProof(siblings)
 
 
+@functools.lru_cache(maxsize=64)
+def _merkle_fetch_fn(n_layers: int):
+    """One jitted gather for query rows + all sibling layers: a single
+    device round-trip instead of ~2 per layer (the axon TPU tunnel costs
+    ~90ms latency per dispatch, so per-layer eager gathers dominated the
+    FRI query phase)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fetch(leaves, levels, idx):
+        rows = (jnp.take(leaves[0], idx, axis=0),
+                jnp.take(leaves[1], idx, axis=0))
+        sibs = []
+        cur = idx
+        for layer in range(n_layers):
+            sibs.append((jnp.take(levels[layer][0], cur ^ 1, axis=0),
+                         jnp.take(levels[layer][1], cur ^ 1, axis=0)))
+            cur = cur >> 1
+        sib_lo = jnp.stack([s[0] for s in sibs]) if sibs else \
+            jnp.zeros((0, idx.shape[0], 4), jnp.uint32)
+        sib_hi = jnp.stack([s[1] for s in sibs]) if sibs else \
+            jnp.zeros((0, idx.shape[0], 4), jnp.uint32)
+        return rows[0], rows[1], sib_lo, sib_hi
+
+    return fetch
+
+
 class DeviceMerkleTree:
     """Merkle tree whose leaves and digest levels stay resident on the
     device — the reference's defining GPU memory design
@@ -111,31 +140,25 @@ class DeviceMerkleTree:
 
     def prefetch(self, indices) -> None:
         """Fetch leaf rows + full sibling paths for many indices in one
-        device round-trip per array (vs per-query host walks)."""
-        import jax.numpy as jnp
+        device call + one host transfer."""
+        import jax
 
         from ..field import gf_jax as gf
         indices = [int(i) for i in indices]
         todo = [i for i in indices if i not in self._rows]
         if not todo:
             return
-        idx = jnp.asarray(np.array(todo, dtype=np.int64))
-        lo = jnp.take(self.leaves_dev[0], idx, axis=0)
-        hi = jnp.take(self.leaves_dev[1], idx, axis=0)
-        sib = []
-        cur = np.array(todo, dtype=np.int64)
-        for layer in range(self.num_layers()):
-            lidx = jnp.asarray(cur ^ 1)
-            lvl = self.levels_dev[layer]
-            sib.append((jnp.take(lvl[0], lidx, axis=0),
-                        jnp.take(lvl[1], lidx, axis=0)))
-            cur >>= 1
-        rows = gf.to_u64((np.asarray(lo), np.asarray(hi)))
-        paths = [gf.to_u64((np.asarray(s[0]), np.asarray(s[1])))
-                 for s in sib]
+        import jax.numpy as jnp
+        idx = jnp.asarray(np.array(todo, dtype=np.int32))
+        fetch = _merkle_fetch_fn(self.num_layers())
+        out = jax.device_get(fetch(tuple(self.leaves_dev),
+                                   tuple(tuple(l) for l in self.levels_dev),
+                                   idx))
+        rows = gf.to_u64((out[0], out[1]))            # (Q, L)
+        sibs = gf.to_u64((out[2], out[3]))            # (layers, Q, 4)
         for k, i in enumerate(todo):
             self._rows[i] = rows[k]
-            self._paths[i] = [p[k] for p in paths]
+            self._paths[i] = [sibs[j, k] for j in range(sibs.shape[0])]
 
     def get(self, i: int) -> np.ndarray:
         if i not in self._rows:

@@ -35,6 +35,61 @@ def ext_powers_host(z, n: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=16)
+def _multi_eval_fn(batch_sizes: tuple, degree: int, n_points: int):
+    """One jitted program evaluating EVERY oracle's polys at EVERY point —
+    a single dispatch + a single host transfer per proof (the axon tunnel
+    charges ~90ms latency per call)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..field import gf2_jax as gf2
+    from ..field import gf_jax as gf
+
+    @jax.jit
+    def fn(coeffs, zp_lo, zp_hi):
+        # coeffs: tuple of (B_i, n) pairs; zp_*: (n_points, n, 2)
+        outs = []
+        for c in coeffs:
+            per_oracle = []
+            for p in range(n_points):
+                t0 = gf.mul(c, (zp_lo[p, :, 0], zp_hi[p, :, 0]))
+                t1 = gf.mul(c, (zp_lo[p, :, 1], zp_hi[p, :, 1]))
+                s0 = gf2.gf_sum(t0, axis=-1)
+                s1 = gf2.gf_sum(t1, axis=-1)
+                per_oracle.append(jnp.stack(
+                    [jnp.stack(s0, 0), jnp.stack(s1, 0)], 0))
+            outs.append(jnp.stack(per_oracle))   # (n_points, 2, 2, B)
+        return tuple(outs)
+
+    return fn
+
+
+def eval_openings_batched(batches: list, points: list) -> list:
+    """Evaluate all polynomials of several committed batches at several
+    extension points.  Returns ``out[oracle][point]`` as (B, 2) uint64."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..field import gf_jax as gf
+    coeffs = tuple(b.device_coeffs() for b in batches)
+    degree = coeffs[0][0].shape[-1]
+    zpows = np.stack([ext_powers_host(p, degree) for p in points])
+    zp_lo, zp_hi = gf.from_u64(zpows)
+    fn = _multi_eval_fn(tuple(c[0].shape[0] for c in coeffs), degree,
+                        len(points))
+    outs = jax.device_get(fn(coeffs, jnp.asarray(zp_lo), jnp.asarray(zp_hi)))
+    result = []
+    for arr in outs:                    # (n_points, 2, 2, B)
+        per_point = []
+        for p in range(arr.shape[0]):
+            v0 = gf.to_u64((arr[p, 0, 0], arr[p, 0, 1]))
+            v1 = gf.to_u64((arr[p, 1, 0], arr[p, 1, 1]))
+            per_point.append(np.stack([v0, v1], axis=-1))
+        result.append(per_point)
+    return result
+
+
 @functools.lru_cache(maxsize=8)
 def _eval_fn(n_polys: int, degree: int):
     import jax

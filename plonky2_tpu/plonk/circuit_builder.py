@@ -359,13 +359,8 @@ class CircuitBuilder(ExtensionGadgets, SplitGadgets, U32Gadgets,
         degree = len(self.gate_instances)
         config = self.config
         forest = Forest(config.num_wires, config.num_routed_wires, degree)
-        for row in range(degree):
-            for col in range(config.num_wires):
-                forest.add_wire(row, col)
-        for idx in range(self.virtual_target_index):
-            forest.add_virtual(idx)
-        for a, b in self.copy_constraints:
-            forest.merge(a, b)
+        forest.init_slots(self.virtual_target_index)
+        forest.merge_many(self.copy_constraints)
         forest.compress_paths()
         sigma = forest.sigma_polys(k_is, subgroup)
         return sigma, forest

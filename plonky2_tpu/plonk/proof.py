@@ -39,19 +39,18 @@ class OpeningSet:
             common_data) -> "OpeningSet":
         zeta_next = ge.s_mul(zeta, (g, 0))
         if wires_commitment._coeffs_dev is not None:
-            # device dot against point powers; only (B, 2) values come back
-            from ..ops.openings import (eval_device_polys_ext,
-                                        ext_powers_host)
-            n = 1 << wires_commitment.degree_log
-            zp = ext_powers_host(zeta, n)
-            zpn = ext_powers_host(zeta_next, n)
-            cs_eval = eval_device_polys_ext(constants_sigmas_commitment, zp)
-            zspp_eval = eval_device_polys_ext(zs_partial_products_commitment,
-                                              zp)
-            zspp_next = eval_device_polys_ext(zs_partial_products_commitment,
-                                              zpn)[list(common_data.zs_range())]
-            wires_eval = eval_device_polys_ext(wires_commitment, zp)
-            q_eval = eval_device_polys_ext(quotient_polys_commitment, zp)
+            # one device dispatch for all oracles x both points; only the
+            # (B, 2) opened values come back
+            from ..ops.openings import eval_openings_batched
+            out = eval_openings_batched(
+                [constants_sigmas_commitment, wires_commitment,
+                 zs_partial_products_commitment, quotient_polys_commitment],
+                [zeta, zeta_next])
+            cs_eval = out[0][0]
+            wires_eval = out[1][0]
+            zspp_eval = out[2][0]
+            zspp_next = out[2][1][list(common_data.zs_range())]
+            q_eval = out[3][0]
         else:
             cs_eval = eval_polys_ext(constants_sigmas_commitment.polynomials,
                                      zeta)

@@ -51,10 +51,19 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
 
     witness = partition_witness.full_witness()  # (num_wires, degree)
 
+    wires_pair = None
+    if use_device and gc.algebraic:
+        # upload the witness ONCE; both the wires commitment and the
+        # device partial-products program read from it
+        from ..field import gf_jax as gf
+        from ..runtime.meshctx import put_pair
+        with timing.scope("upload witness"):
+            wires_pair = put_pair(gf.from_u64(witness), axis=1)
+
     with timing.scope("compute wires commitment"):
         wires_commitment = PolynomialBatch.from_values(
-            witness, rate_bits, zk, cap_height, use_device=use_device,
-            hasher=gc)
+            wires_pair if wires_pair is not None else witness, rate_bits,
+            zk, cap_height, use_device=use_device, hasher=gc)
 
     challenger = Challenger(permutation=gc.permute)
     challenger.observe_hash(prover_data.circuit_digest)
@@ -66,8 +75,13 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
     assert common_data.quotient_degree_factor < config.num_routed_wires
 
     with timing.scope("compute partial products"):
-        zs_partial_products = _all_wires_partial_products(
-            witness, betas, gammas, prover_data, common_data)
+        if wires_pair is not None:
+            from ..ops.partial_products import device_partial_products
+            zs_partial_products = device_partial_products(
+                wires_pair, betas, gammas, prover_data, common_data)
+        else:
+            zs_partial_products = _all_wires_partial_products(
+                witness, betas, gammas, prover_data, common_data)
 
     with timing.scope("commit to partial products and Z's"):
         zs_partial_products_commitment = PolynomialBatch.from_values(

@@ -176,9 +176,10 @@ class DeviceQuotient:
             gl.mul(n_f, gl.sub(shifted_xs, np.uint64(1)))))
         dom = np.stack([shifted_xs, l_0, zh_inv])       # (3, N)
         dom = dom.reshape(3, self.n_chunks, chunk)
-        self.dom = jax.device_put(jnp.asarray(
-            np.stack(gf.from_u64(dom)).transpose(2, 0, 1, 3)))
-        # (n_chunks, 2, 3, chunk)
+        from ..runtime.meshctx import put_array
+        self.dom = put_array(
+            np.stack(gf.from_u64(dom)).transpose(2, 0, 1, 3), axis=0)
+        # (n_chunks, 2, 3, chunk), chunk axis sharded under an active mesh
 
         self._fn = None
 
@@ -248,8 +249,7 @@ class DeviceQuotient:
         bank = self.program.scalar_bank(quotient_scalar_inputs(
             public_inputs_hash, betas, gammas, alphas))
         from ..field import gf_jax as gf
-        bank_pair = jnp.stack(
-            [jnp.asarray(x) for x in gf.from_u64(bank)], axis=1)  # (S, 2)
+        bank_pair = np.stack(gf.from_u64(bank), axis=1)   # (S, 2) numpy
 
         cs_lo, cs_hi = self.cs_leaves
         w_lo, w_hi = wires_batch.device_leaves()
