@@ -29,8 +29,10 @@ def main():
 
     backend = jax.default_backend()
     on_accel = backend != "cpu"
+    # 2^17 leaves -> 2^17-1 internal hash gates + overhead pads to exactly
+    # 2^18 rows, the reference's canonical shape (cuda/test.cu:105-115)
     log2_leaves = int(os.environ.get(
-        "BENCH_LOG2_ROWS", "18" if on_accel else "6"))
+        "BENCH_LOG2_ROWS", "17" if on_accel else "6"))
 
     config = CircuitConfig.wide_ecc_config()
     cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

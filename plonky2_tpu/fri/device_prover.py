@@ -91,7 +91,7 @@ def _composition_fn(n_batches_cols: tuple, lde_bits: int, salt_sizes: tuple):
 
                 (acc, _) = lax.scan(
                     col_step, acc,
-                    (llo.T, lhi.T, w[0][:, 0], w[1][:, 0], w[0][:, 1],
+                    (llo, lhi, w[0][:, 0], w[1][:, 0], w[0][:, 1],
                      w[1][:, 1]))
             # q_b = (R_b - R_b(z)) * (x - z)^-1
             rb = ((rbz[0][b, 0], rbz[1][b, 0]), (rbz[0][b, 1], rbz[1][b, 1]))
@@ -120,7 +120,7 @@ def _composition_fn(n_batches_cols: tuple, lde_bits: int, salt_sizes: tuple):
         comp = gf2.mul2_base(comp, xs)
 
         # coefficients: natural-order values -> coset iNTT, componentwise
-        perm = jntt.bitrev_perm(N)
+        perm = jntt.bitrev_perm_auto(N)
         nat = ((comp[0][0][perm], comp[0][1][perm]),
                (comp[1][0][perm], comp[1][1][perm]))
         stacked = (jnp.stack([nat[0][0], nat[1][0]]),
@@ -164,7 +164,7 @@ def device_composition(instance, oracles, alpha, openings_batches,
         for j, info in enumerate(batch.polynomials):
             oi = info.oracle_index
             if wb[oi] is None:
-                ncols = oracles[oi].device_leaves()[0].shape[1]
+                ncols = oracles[oi].device_leaves()[0].shape[0]
                 wb[oi] = np.zeros((ncols, 2), dtype=np.uint64)
             wb[oi][info.polynomial_index] = apow[j]
         weights.append(wb)
@@ -210,11 +210,20 @@ def _fold_fn(n: int, arity_bits: int, cap_height: int, shift: int):
 
     @jax.jit
     def commit(v_br):
-        """values_br: ext pair of (n,) -> (leaves (n/arity, 2*arity), levels)."""
+        """values_br: ext pair of (n,) -> column-major leaves
+        (2*arity, n/arity) + digest levels.
+
+        Leaf j (column j) holds [v[j*arity+i][comp] for i, comp] in the
+        host row order: build (m, arity, 2) then transpose."""
         c0, c1 = v_br
-        lo = jnp.stack([c0[0], c1[0]], axis=-1).reshape(n // arity, 2 * arity)
-        hi = jnp.stack([c0[1], c1[1]], axis=-1).reshape(n // arity, 2 * arity)
-        leaves = (lo, hi)
+        m = n // arity
+
+        def cols(lo0, lo1):
+            x = jnp.stack([lo0.reshape(m, arity), lo1.reshape(m, arity)],
+                          axis=-1)                     # (m, arity, 2)
+            return x.reshape(m, 2 * arity).T           # (2*arity, m)
+
+        leaves = (cols(c0[0], c1[0]), cols(c0[1], c1[1]))
         return leaves, mkj.build_digest_levels(leaves, cap_height)
 
     @jax.jit
@@ -237,7 +246,7 @@ def _fold_fn(n: int, arity_bits: int, cap_height: int, shift: int):
         new_coeffs = (jnp.stack([acc[0][0], acc[1][0]]),
                       jnp.stack([acc[0][1], acc[1][1]]))   # (2, m)
         vals = jntt.coset_ntt(new_coeffs, shift)
-        perm = jntt.bitrev_perm(m)
+        perm = jntt.bitrev_perm_auto(m)
         v_br = ((vals[0][0][perm], vals[1][0][perm]),
                 (vals[0][1][perm], vals[1][1][perm]))
         return v_br, new_coeffs

@@ -80,19 +80,22 @@ class PolynomialBatch:
     def leaves(self) -> np.ndarray:
         if self._leaves_host is None:
             from ..field import gf_jax as gf
+            # device layout is column-major (B, lde); host contract is
+            # row-major (lde, B)
             self._leaves_host = gf.to_u64(
                 (np.asarray(self._leaves_dev[0]),
-                 np.asarray(self._leaves_dev[1])))
+                 np.asarray(self._leaves_dev[1]))).T.copy()
         return self._leaves_host
 
     def device_leaves(self):
-        """Leaf matrix as a resident (lo, hi) uint32 device pair
-        (reference merkle_tree.rs:59-63); uploaded once and cached when the
-        batch was built on host."""
+        """Leaf matrix as a resident column-major (B, lde) (lo, hi) uint32
+        device pair (reference merkle_tree.rs:59-63); uploaded once and
+        cached when the batch was built on host."""
         if self._leaves_dev is None:
             from ..field import gf_jax as gf
             from ..runtime.meshctx import put_pair
-            self._leaves_dev = put_pair(gf.from_u64(self.leaves), axis=0)
+            self._leaves_dev = put_pair(
+                gf.from_u64(self.leaves.T.copy()), axis=1)
         return self._leaves_dev
 
     def device_coeffs(self):

@@ -89,19 +89,19 @@ def _merkle_fetch_fn(n_layers: int):
     """One jitted gather for query rows + all sibling layers: a single
     device round-trip instead of ~2 per layer (the axon TPU tunnel costs
     ~90ms latency per dispatch, so per-layer eager gathers dominated the
-    FRI query phase)."""
+    FRI query phase).  Leaves/levels are column-major: leaf i = column i."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def fetch(leaves, levels, idx):
-        rows = (jnp.take(leaves[0], idx, axis=0),
-                jnp.take(leaves[1], idx, axis=0))
+        rows = (jnp.take(leaves[0], idx, axis=1).T,
+                jnp.take(leaves[1], idx, axis=1).T)      # (Q, L)
         sibs = []
         cur = idx
         for layer in range(n_layers):
-            sibs.append((jnp.take(levels[layer][0], cur ^ 1, axis=0),
-                         jnp.take(levels[layer][1], cur ^ 1, axis=0)))
+            sibs.append((jnp.take(levels[layer][0], cur ^ 1, axis=1).T,
+                         jnp.take(levels[layer][1], cur ^ 1, axis=1).T))
             cur = cur >> 1
         sib_lo = jnp.stack([s[0] for s in sibs]) if sibs else \
             jnp.zeros((0, idx.shape[0], 4), jnp.uint32)
@@ -123,17 +123,21 @@ class DeviceMerkleTree:
     MerkleTree so the FRI query phase is oblivious to residency."""
 
     def __init__(self, leaves_dev, levels_dev, cap_height: int):
+        import numpy as _np
+
         from ..field import gf_jax as gf
-        self.leaves_dev = leaves_dev        # (N, L) GF pair
-        self.levels_dev = levels_dev        # list of (Nk, 4) GF pairs
+        self.leaves_dev = leaves_dev        # (L, N) GF pair (column-major)
+        self.levels_dev = levels_dev        # list of (4, Nk) GF pairs
         self.cap_height = cap_height
-        self.cap = MerkleCap(gf.to_u64(levels_dev[-1]))
+        cap = gf.to_u64((_np.asarray(levels_dev[-1][0]),
+                         _np.asarray(levels_dev[-1][1])))
+        self.cap = MerkleCap(cap.T.copy())  # host contract: (2^h, 4)
         self._rows: dict = {}
         self._paths: dict = {}
 
     @property
     def num_leaves(self) -> int:
-        return self.leaves_dev[0].shape[0]
+        return self.leaves_dev[0].shape[1]
 
     def num_layers(self) -> int:
         return log2_strict(self.num_leaves) - self.cap_height

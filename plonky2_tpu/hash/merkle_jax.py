@@ -1,9 +1,10 @@
-"""Device-side Merkle construction — JAX, batched Poseidon over leaf rows.
+"""Device-side Merkle construction — JAX, batched Poseidon over leaf columns.
 
 Mirrors the reference GPU pipeline (hash_leaves_kernel + reduce_digests_kernel,
-cuda/plonky2_gpu_impl.cuh:350-462) as pure JAX: one vectorized sponge over all
-N leaves, then log2(N) - cap_height vectorized compression rounds.  Returns
-the same level-major digest list the host MerkleTree uses.
+cuda/plonky2_gpu_impl.cuh:350-462) as pure JAX in COLUMN-MAJOR layout:
+leaves are (L, N) (leaf i = column i) and digest levels are (4, N_k).
+TPU tiling pads the minor axis to 128 lanes, so the row-major (N, small)
+layouts of round 1 wasted 8-32x HBM; column-major keeps the huge axis minor.
 """
 from __future__ import annotations
 
@@ -14,32 +15,38 @@ from ..utils.bits import log2_strict
 from . import poseidon_jax as pj
 
 
-def hash_leaves_or_noop(leaves):
-    """leaves: (N, L) pair -> (N, 4) digest pair."""
+def hash_leaves_or_noop_cols(leaves):
+    """leaves: (L, N) pair -> (4, N) digest pair."""
     lo, hi = leaves
-    N, L = lo.shape
+    L, N = lo.shape
     if L <= 4:
         pad = 4 - L
-        return (jnp.pad(lo, ((0, 0), (0, pad))), jnp.pad(hi, ((0, 0), (0, pad))))
-    return pj.hash_leaves(leaves)
+        return (jnp.pad(lo, ((0, pad), (0, 0))),
+                jnp.pad(hi, ((0, pad), (0, 0))))
+    return pj.hash_leaves_cols(leaves)
 
 
 def build_digest_levels(leaves, cap_height: int):
-    """Returns list of (N/2^k, 4) digest pairs, ending at the cap level."""
+    """leaves (L, N) pair -> list of (4, N/2^k) digest pairs, ending at the
+    cap level."""
     lo, _ = leaves
-    n = lo.shape[0]
+    n = lo.shape[1]
     bits = log2_strict(n)
     assert cap_height <= bits
-    levels = [hash_leaves_or_noop(leaves)]
+    levels = [hash_leaves_or_noop_cols(leaves)]
     for _ in range(bits - cap_height):
         cur_lo, cur_hi = levels[-1]
-        left = (cur_lo[0::2], cur_hi[0::2])
-        right = (cur_lo[1::2], cur_hi[1::2])
-        levels.append(pj.compress_pairs(left, right))
+        left = (cur_lo[:, 0::2], cur_hi[:, 0::2])
+        right = (cur_lo[:, 1::2], cur_hi[:, 1::2])
+        levels.append(pj.compress_pairs_cols(left, right))
     return levels
 
 
 def merkle_levels_u64(leaves_u64, cap_height: int):
-    """Convenience: numpy u64 leaves in, numpy u64 digest levels out."""
-    levels = build_digest_levels(gf.from_u64(leaves_u64), cap_height)
-    return [gf.to_u64(lv) for lv in levels]
+    """Convenience: numpy u64 leaves (N, L) in, numpy u64 digest levels
+    (N_k, 4) out (batch-major host contract)."""
+    lo, hi = gf.from_u64(leaves_u64)
+    levels = build_digest_levels((lo.T, hi.T), cap_height)
+    import numpy as np
+    return [gf.to_u64((np.asarray(lv[0]).T, np.asarray(lv[1]).T))
+            for lv in levels]

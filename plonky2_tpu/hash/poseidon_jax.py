@@ -1,10 +1,15 @@
 """Poseidon-12 permutation on TPU — JAX over (lo, hi) uint32-pair field reps.
 
-Vectorized across an arbitrary leaf batch: state is a pair of uint32 arrays of
-shape (..., 12).  The MDS layer decomposes the 64-bit state into four 16-bit
-limb planes and runs four (..., 12) x (12, 12) int32 matmuls (the matrix
-entries are < 64, so partial sums stay < 2^26 — exact in int32 and eligible
-for the MXU), then recombines limbs and epsilon-reduces.
+Vectorized across the leaf batch in TRANSPOSED layout: state is a pair of
+uint32 arrays of shape (12, B) — batch on the minor (lane) axis.  TPU
+arrays tile as (8, 128) u32; a (B, 12) layout pads the minor dim 12 -> 128
+(10.7x HBM blowup, which OOM'd the 2^21-leaf commit), while (12, B) pads
+only the sublane dim 12 -> 16.
+
+The MDS layer decomposes the 64-bit state into four 16-bit limb planes and
+runs four (12, 12) x (12, B) int32 matmuls (matrix entries < 64, partial
+sums < 2^26 — exact in int32 and MXU-eligible), then recombines limbs and
+epsilon-reduces.
 
 Matches the numpy oracle ``hash.poseidon`` exactly (same 30-round naive
 schedule; reference KAT-verified).
@@ -27,8 +32,8 @@ _MDS_I32 = jnp.asarray(pos.MDS_MATRIX.astype(np.int32))  # (12, 12), entries < 6
 
 @functools.lru_cache(maxsize=None)
 def _round_constant_pairs():
-    """(lo, hi) uint32 arrays of shape (30, 12)."""
-    rc = pos.ALL_ROUND_CONSTANTS.reshape(pos.N_ROUNDS, WIDTH)
+    """(lo, hi) uint32 arrays of shape (30, 12, 1) — broadcast over lanes."""
+    rc = pos.ALL_ROUND_CONSTANTS.reshape(pos.N_ROUNDS, WIDTH, 1)
     return gf.from_u64(rc)
 
 
@@ -40,16 +45,15 @@ def _sbox(x):
 
 
 def _mds(state):
-    lo, hi = state
-    m = _MDS_I32.T  # act on last axis: out[..., r] = sum_c v[..., c] * M[r, c]
+    lo, hi = state                      # (12, B)
+    m = _MDS_I32                        # out[r, b] = sum_c M[r, c] v[c, b]
     planes = [
         (lo & 0xFFFF).astype(jnp.int32),
         (lo >> 16).astype(jnp.int32),
         (hi & 0xFFFF).astype(jnp.int32),
         (hi >> 16).astype(jnp.int32),
     ]
-    # t[k] = plane_k @ M^T, exact in int32 (< 2^26)
-    t = [jnp.matmul(p, m, preferred_element_type=jnp.int32).astype(jnp.uint32)
+    t = [jnp.matmul(m, p, preferred_element_type=jnp.int32).astype(jnp.uint32)
          for p in planes]
     # acc = t0 + t1*2^16 + t2*2^32 + t3*2^48, each t < 2^26:
     # normalize into 16-bit limbs c0..c5 (all fit u32 comfortably)
@@ -81,18 +85,17 @@ def _full_round(carry, rc):
 
 def _partial_round(carry, rc):
     s = gf.add(carry, rc)
-    s0 = _sbox((s[0][..., :1], s[1][..., :1]))
-    s = (jnp.concatenate([s0[0], s[0][..., 1:]], axis=-1),
-         jnp.concatenate([s0[1], s[1][..., 1:]], axis=-1))
+    s0 = _sbox((s[0][:1], s[1][:1]))
+    s = (jnp.concatenate([s0[0], s[0][1:]], axis=0),
+         jnp.concatenate([s0[1], s[1][1:]], axis=0))
     return _mds(s), None
 
 
-def poseidon(state):
-    """Permutation: state = (lo, hi) uint32 pair, shape (..., 12).
+def poseidon_t(state):
+    """Permutation on transposed state: (lo, hi) pair of shape (12, B).
 
     Rounds run under lax.scan (4 full / 22 partial / 4 full) so the traced
-    graph holds one round body each instead of 30 — keeps XLA compile time of
-    the fused commit pipeline sane."""
+    graph holds one round body each instead of 30."""
     import jax
 
     rc_lo, rc_hi = _round_constant_pairs()
@@ -106,30 +109,51 @@ def poseidon(state):
     return state
 
 
-def hash_leaves(leaves):
-    """Vectorized overwrite-mode sponge: leaves (B, L) pair -> digests (B, 4) pair.
+def poseidon(state):
+    """Batch-major compatibility wrapper: state pair of shape (..., 12)."""
+    lo, hi = (jnp.asarray(state[0]), jnp.asarray(state[1]))
+    shape = lo.shape
+    lo2 = jnp.moveaxis(lo.reshape(-1, WIDTH), -1, 0)
+    hi2 = jnp.moveaxis(hi.reshape(-1, WIDTH), -1, 0)
+    out = poseidon_t((lo2, hi2))
+    return (jnp.moveaxis(out[0], 0, -1).reshape(shape),
+            jnp.moveaxis(out[1], 0, -1).reshape(shape))
 
-    Mirrors the reference leaf hashing (cuda/plonky2_gpu_impl.cuh:350-409 /
-    hashing.rs:81): absorb rate-8 chunks of each leaf row, output 4 elements.
-    """
+
+def hash_leaves_cols(leaves):
+    """Column-major sponge: leaves (L, B) pair -> digests (4, B) pair.
+
+    Overwrite-mode absorb of rate-8 row chunks (reference
+    cuda/plonky2_gpu_impl.cuh:350-409 / hashing.rs:81)."""
     lo, hi = leaves
-    B, L = lo.shape
-    state = gf.zeros((B, WIDTH))
+    L, B = lo.shape
+    state = gf.zeros((WIDTH, B))
     for start in range(0, L, SPONGE_RATE):
         w = min(SPONGE_RATE, L - start)
-        chunk_lo = lo[:, start:start + w]
-        chunk_hi = hi[:, start:start + w]
-        state = (jnp.concatenate([chunk_lo, state[0][:, w:]], axis=-1),
-                 jnp.concatenate([chunk_hi, state[1][:, w:]], axis=-1))
-        state = poseidon(state)
-    return state[0][:, :4], state[1][:, :4]
+        state = (jnp.concatenate([lo[start:start + w], state[0][w:]], axis=0),
+                 jnp.concatenate([hi[start:start + w], state[1][w:]], axis=0))
+        state = poseidon_t(state)
+    return state[0][:4], state[1][:4]
+
+
+def hash_leaves(leaves):
+    """Batch-major wrapper: leaves (B, L) pair -> digests (B, 4) pair."""
+    lo, hi = leaves
+    out = hash_leaves_cols((lo.T, hi.T))
+    return out[0].T, out[1].T
+
+
+def compress_pairs_cols(x, y):
+    """Column-major two-to-one compression: (4, B) pairs -> (4, B) pair."""
+    B = x[0].shape[1]
+    cap = gf.zeros((4, B))
+    state = (jnp.concatenate([x[0], y[0], cap[0]], axis=0),
+             jnp.concatenate([x[1], y[1], cap[1]], axis=0))
+    out = poseidon_t(state)
+    return out[0][:4], out[1][:4]
 
 
 def compress_pairs(x, y):
-    """Vectorized two-to-one compression: (B, 4) pairs -> (B, 4) pair."""
-    B = x[0].shape[0]
-    cap = gf.zeros((B, 4))
-    state = (jnp.concatenate([x[0], y[0], cap[0]], axis=-1),
-             jnp.concatenate([x[1], y[1], cap[1]], axis=-1))
-    out = poseidon(state)
-    return out[0][:, :4], out[1][:, :4]
+    """Batch-major wrapper: (B, 4) pairs -> (B, 4) pair."""
+    out = compress_pairs_cols((x[0].T, x[1].T), (y[0].T, y[1].T))
+    return out[0].T, out[1].T

@@ -25,18 +25,24 @@ from . import ntt as jntt
 
 
 def _commit_coeffs_core(coeffs, rate_bits: int, cap_height: int, salt=None):
-    """coeffs: (B, n) pair -> (leaves (lde, B[+4]) pair, levels list of pairs).
+    """coeffs: (B, n) pair -> (leaves (B[+4], lde) pair, levels list of
+    (4, N_k) pairs).
 
-    `salt` is an optional (lde, 4) pair of blinding columns appended before
+    Leaves live in COLUMN-MAJOR layout (leaf i = column i, already in
+    bit-reversed order): no transpose is materialized and — decisively —
+    the minor axis is the huge one, so TPU (8,128) tiling pads ~nothing.
+    The round-1 (lde, B) layout padded B -> 128 lanes: up to 8x HBM blowup
+    that OOM'd 2^18-row commits.
+
+    `salt` is an optional (4, lde) pair of blinding rows appended before
     hashing (reference oracle.rs:41 SALT_SIZE=4)."""
     lde = jntt.lde_coset_ntt(coeffs, rate_bits)          # (B, lde_size)
     lde_size = lde[0].shape[-1]
-    # transpose to leaf-major and bit-reverse rows (leaf i = natural row rev(i))
-    perm = jntt.bitrev_perm(lde_size)
-    leaves = (lde[0].T[perm], lde[1].T[perm])            # (lde_size, B)
+    perm = jntt.bitrev_perm_auto(lde_size)
+    leaves = (lde[0][:, perm], lde[1][:, perm])          # (B, lde_size)
     if salt is not None:
-        leaves = (jnp.concatenate([leaves[0], salt[0]], axis=1),
-                  jnp.concatenate([leaves[1], salt[1]], axis=1))
+        leaves = (jnp.concatenate([leaves[0], salt[0]], axis=0),
+                  jnp.concatenate([leaves[1], salt[1]], axis=0))
     levels = mkj.build_digest_levels(leaves, cap_height)
     return leaves, levels
 
@@ -56,7 +62,7 @@ def commit_from_values(values, rate_bits: int, cap_height: int, salt=None):
 
 def device_salt(lde_size: int, seed: int | None = None,
                 salt_rng=None):
-    """(lde_size, 4) blinding columns as a device GF pair.
+    """(4, lde_size) blinding rows as a device GF pair.
 
     With `salt_rng` (tests / host-parity) the salt is drawn host-side from
     the given numpy Generator, byte-identical to the host path; otherwise
@@ -64,15 +70,17 @@ def device_salt(lde_size: int, seed: int | None = None,
     2^-32 bias is irrelevant for blinding)."""
     from ..field import goldilocks as gl
     if salt_rng is not None:
+        # host path draws row-major (lde, 4) — keep the identical draw
+        # order for byte-parity, then transpose
         salt = salt_rng.integers(0, gl.P, size=(lde_size, 4),
-                                 dtype=np.uint64)
+                                 dtype=np.uint64).T.copy()
         lo, hi = gf.from_u64(salt)
         return jnp.asarray(lo), jnp.asarray(hi)
     if seed is None:
         import secrets
         seed = secrets.randbits(63)
     key = jax.random.PRNGKey(seed)
-    bits = jax.random.bits(key, (2, lde_size, 4), dtype=jnp.uint32)
+    bits = jax.random.bits(key, (2, 4, lde_size), dtype=jnp.uint32)
     lo, hi = bits[0], bits[1]
     # one conditional subtract brings (lo, hi) < 2^64 into [0, p)
     return gf._canon(lo, hi)

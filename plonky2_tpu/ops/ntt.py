@@ -37,6 +37,44 @@ def bitrev_perm(n: int):
     return bit_reverse_indices(n)
 
 
+def bitrev_perm_dev(n: int):
+    """Bit-reversal permutation computed IN-TRACE (~15 shift/mask ops).
+
+    Inlining the numpy table as an HLO literal costs 8 bytes/element in the
+    module — at lde 2^21 the commit program ballooned to a 160 MB MLIR blob
+    that the TPU compile service rejects."""
+    bits = log2_strict(n)
+    v = jax.lax.iota(jnp.uint32, n)
+    v = ((v & jnp.uint32(0x55555555)) << 1) | ((v >> 1) & jnp.uint32(0x55555555))
+    v = ((v & jnp.uint32(0x33333333)) << 2) | ((v >> 2) & jnp.uint32(0x33333333))
+    v = ((v & jnp.uint32(0x0F0F0F0F)) << 4) | ((v >> 4) & jnp.uint32(0x0F0F0F0F))
+    v = ((v & jnp.uint32(0x00FF00FF)) << 8) | ((v >> 8) & jnp.uint32(0x00FF00FF))
+    v = (v << 16) | (v >> 16)
+    return (v >> (32 - bits)).astype(jnp.int32)
+
+
+def bitrev_perm_auto(n: int):
+    """Device builder for large n (keeps HLO modules small), numpy constant
+    for small n (cheaper than the in-trace ops)."""
+    return bitrev_perm_dev(n) if n >= (1 << 12) else bitrev_perm(n)
+
+
+def powers_dev(base: int, n: int):
+    """[1, base, ..., base^(n-1)] as a GF pair, built IN-TRACE by
+    log-doubling from host-int squarings (log2(n) concats + mul_consts —
+    no n-element constant in the module)."""
+    x = gf.ones((1,))
+    k = 1
+    step = base % gl.P
+    while k < n:
+        take = min(k, n - k)
+        seg = gf.mul_const((x[0][:take], x[1][:take]), step)
+        x = (jnp.concatenate([x[0], seg[0]]), jnp.concatenate([x[1], seg[1]]))
+        k += take
+        step = (step * step) % gl.P
+    return x
+
+
 def _ntt_core(a_lo, a_hi, twiddles):
     n = a_lo.shape[-1]
     bits = log2_strict(n)
@@ -81,14 +119,17 @@ def ntt(a, inverse: bool = False):
 
 def coset_ntt(coeffs, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR):
     n = coeffs[0].shape[-1]
-    sp = gf.from_u64(gl.powers(shift, n))
+    sp = powers_dev(shift, n) if n >= (1 << 12) else \
+        gf.from_u64(gl.powers(shift, n))
     return ntt(gf.mul(coeffs, sp))
 
 
 def coset_intt(values, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR):
     n = values[0].shape[-1]
     coeffs = ntt(values, inverse=True)
-    sp = gf.from_u64(gl.powers(gl.s_inv(shift), n))
+    inv_s = gl.s_inv(shift)
+    sp = powers_dev(inv_s, n) if n >= (1 << 12) else \
+        gf.from_u64(gl.powers(inv_s, n))
     return gf.mul(coeffs, sp)
 
 

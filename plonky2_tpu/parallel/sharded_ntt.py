@@ -37,6 +37,29 @@ def _step2_twiddles(n1: int, n2: int, inverse: bool):
     return gf.from_u64(table)
 
 
+def _step2_twiddles_built(n1: int, n2: int, inverse: bool):
+    """Same table, built IN-TRACE by column doubling from (n1,)-sized host
+    constants: W[:, m:2m] = W[:, :m] * g^(k1*m).  The materialized numpy
+    table is n elements — inlined into the HLO it made 2^21-point commit
+    modules ~160 MB and broke the TPU compile service."""
+    n = n1 * n2
+    g = gl.primitive_root_of_unity(log2_strict(n))
+    if inverse:
+        g = gl.s_inv(g)
+    rows_host = gl.powers(g, n1)                    # (n1,) small constant
+    W = gf.ones((n1, 1))
+    m = 1
+    while m < n2:
+        take = min(m, n2 - m)
+        rows_m = gf.from_u64(gl.exp_u64(rows_host, m))
+        seg = gf.mul((W[0][:, :take], W[1][:, :take]),
+                     (rows_m[0][:, None], rows_m[1][:, None]))
+        W = (jnp.concatenate([W[0], seg[0]], axis=1),
+             jnp.concatenate([W[1], seg[1]], axis=1))
+        m += take
+    return W
+
+
 def _ntt_along_axis0(a, n1: int, inverse: bool):
     """Size-n1 NTT along axis 0 of (n1, n2) arrays (vectorized over axis 1)."""
     lo = jnp.swapaxes(a[0], 0, 1)
@@ -74,7 +97,8 @@ def four_step_ntt(coeffs, inverse: bool = False, n1: int | None = None,
     # step 1: size-n1 NTTs down the columns (local)
     a = _ntt_along_axis0(x, n1, inverse)
     # step 2: twiddle W[k1, i2] (local)
-    tw = _step2_twiddles(n1, n2, inverse)
+    tw = _step2_twiddles_built(n1, n2, inverse) if n >= (1 << 12) else \
+        _step2_twiddles(n1, n2, inverse)
     a = gf.mul(a, tw)
     a = constrain(a, (None, shard_axis))
     # step 3: size-n2 NTTs along the rows — needs full rows: reshard to

@@ -212,8 +212,9 @@ class DeviceQuotient:
                 inat, inext, dchunk = xs
 
                 def take(src_lo, src_hi, idx, ncols):
-                    lo = jnp.take(src_lo, idx, axis=0)[:, :ncols].T
-                    hi = jnp.take(src_hi, idx, axis=0)[:, :ncols].T
+                    # sources are column-major (B, lde): gather columns
+                    lo = jnp.take(src_lo[:ncols], idx, axis=1)
+                    hi = jnp.take(src_hi[:ncols], idx, axis=1)
                     return lo, hi          # (ncols, C)
 
                 cs = take(cs_lo, cs_hi, inat, n_pre)

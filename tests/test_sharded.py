@@ -68,8 +68,9 @@ def test_sharded_poly_batch():
     hi = jax.device_put(jnp.asarray(hi), sh)
     with mesh:
         leaves, levels = commit_from_coeffs((lo, hi), 3, 2)
-    # compare against the host oracle
+    # compare against the host oracle (device leaves are column-major:
+    # leaf i = column i)
     expect_lde = fnp.coset_fft(fnp.lde(c, 3))
     from plonky2_tpu.utils.bits import bit_reverse_indices
     expect_leaves = expect_lde.T[bit_reverse_indices(n << 3)]
-    np.testing.assert_array_equal(gf.to_u64(leaves), expect_leaves)
+    np.testing.assert_array_equal(gf.to_u64(leaves).T, expect_leaves)
