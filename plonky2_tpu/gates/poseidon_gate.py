@@ -167,6 +167,11 @@ class PoseidonGenerator(SimpleGenerator):
         outs += [("w", row, wire_output(i)) for i in range(WIDTH)]
         return outs
 
+    # Keep batches cache-resident: the algebra-generic vectorized rounds
+    # below are memory-bound, and per-(G,) temporaries must stay in L2 to
+    # run at speed (engine splits larger ready-sets into chunks of this).
+    batch_chunk = 1 << 12
+
     @classmethod
     def run_batch(cls, gens, dep_vals):
         """All ready Poseidon rows as ONE vectorized numpy permutation —

@@ -229,32 +229,39 @@ def generate_partial_witness(inputs: PartialWitness, prover_data,
             dep_rows = group.dep_reps[slots]
             ready = (is_set[dep_rows].all(axis=1) if dep_rows.shape[1]
                      else np.ones(len(slots), dtype=bool))
-            slots_r = slots[ready]
-            if not slots_r.size:
+            slots_all = slots[ready]
+            if not slots_all.size:
                 continue
-            dep_vals = values[group.dep_reps[slots_r]]
-            gens_sub = [generators[i] for i in group.gen_idx[slots_r]]
-            out_vals = np.asarray(
-                group.cls.run_batch(gens_sub, dep_vals), dtype=np.uint64)
-            out_rows = group.out_reps[slots_r]
-            flat_r = out_rows.ravel()
-            flat_v = out_vals.ravel()
-            already = is_set[flat_r]
-            if already.any():
-                assert np.array_equal(values[flat_r[already]],
-                                      flat_v[already]), (
-                    f"{group.cls.__name__}: batch write conflicts with "
-                    "already-set partition values")
-            fresh = ~already
-            values[flat_r[fresh]] = flat_v[fresh]
-            is_set[flat_r[fresh]] = True
-            # duplicate writes inside one batch must agree (copy classes)
-            assert np.array_equal(values[flat_r], flat_v), (
-                f"{group.cls.__name__}: conflicting duplicate writes in batch")
-            if fresh.any():
-                newly.append(np.unique(flat_r[fresh]))
-            expired[group.gen_idx[slots_r]] = True
-            remaining -= int(slots_r.size)
+            # chunk big batches so the vectorized temporaries stay
+            # cache-resident (memory bandwidth on shared hosts is the
+            # bottleneck, not op count)
+            chunk = getattr(group.cls, "batch_chunk", 0) or slots_all.size
+            for c0 in range(0, slots_all.size, chunk):
+                slots_r = slots_all[c0:c0 + chunk]
+                dep_vals = values[group.dep_reps[slots_r]]
+                gens_sub = [generators[i] for i in group.gen_idx[slots_r]]
+                out_vals = np.asarray(
+                    group.cls.run_batch(gens_sub, dep_vals), dtype=np.uint64)
+                out_rows = group.out_reps[slots_r]
+                flat_r = out_rows.ravel()
+                flat_v = out_vals.ravel()
+                already = is_set[flat_r]
+                if already.any():
+                    assert np.array_equal(values[flat_r[already]],
+                                          flat_v[already]), (
+                        f"{group.cls.__name__}: batch write conflicts with "
+                        "already-set partition values")
+                fresh = ~already
+                values[flat_r[fresh]] = flat_v[fresh]
+                is_set[flat_r[fresh]] = True
+                # duplicate writes inside one batch must agree (copy classes)
+                assert np.array_equal(values[flat_r], flat_v), (
+                    f"{group.cls.__name__}: conflicting duplicate writes in "
+                    "batch")
+                if fresh.any():
+                    newly.append(np.unique(flat_r[fresh]))
+                expired[group.gen_idx[slots_r]] = True
+            remaining -= int(slots_all.size)
 
         # scalar generators (reference-style one-at-a-time path)
         for gi in pending[gids < 0]:

@@ -48,16 +48,122 @@ def _commit_coeffs_core(coeffs, rate_bits: int, cap_height: int, salt=None):
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def commit_from_coeffs(coeffs, rate_bits: int, cap_height: int, salt=None):
+def _commit_from_coeffs_fused(coeffs, rate_bits: int, cap_height: int,
+                              salt=None):
     return _commit_coeffs_core(coeffs, rate_bits, cap_height, salt)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def commit_from_values(values, rate_bits: int, cap_height: int, salt=None):
+def _commit_from_values_fused(values, rate_bits: int, cap_height: int,
+                              salt=None):
     """values: (B, n) pair -> (coeffs pair, leaves pair, levels)."""
     coeffs = jntt.ntt(values, inverse=True)
     leaves, levels = _commit_coeffs_core(coeffs, rate_bits, cap_height, salt)
     return coeffs, leaves, levels
+
+
+# -- chunked big-shape pipeline ---------------------------------------------
+#
+# At the flagship shape (234 polys x 2^21 LDE) the fused jit holds the NTT
+# working set, the bit-reversal gather copy AND the leaf buffer live at
+# once (~23 GB) — over a v5e's 16 GB.  The reference streams one poly at a
+# time through its arena for the same reason (plonky2_gpu.cu:435-606).
+# Here: phase A runs poly BLOCKS through IFFT/LDE/NTT/bit-rev and writes
+# into a donated leaf buffer (peak = leaves + one block's working set);
+# phase B hashes leaves in DOMAIN chunks under lax.map (bounds the sponge
+# temps) and reduces the digest levels.
+
+_POLY_BLOCK = 32
+_CHUNK_BYTES_THRESHOLD = 1 << 30
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5),
+                   donate_argnums=(0, 1, 2, 3))
+def _ntt_block_write(leaves_lo, leaves_hi, coeffs_lo, coeffs_hi, rate_bits,
+                     from_values, block, b0):
+    """Run one poly block through (IFFT ->) LDE -> coset NTT -> bit-rev and
+    write its rows at [b0, b0+blk) of the donated leaves/coeffs buffers."""
+    if from_values:
+        cblock = jntt.ntt(block, inverse=True)
+    else:
+        cblock = block
+    lde = jntt.lde_coset_ntt(cblock, rate_bits)
+    perm = jntt.bitrev_perm_auto(lde[0].shape[-1])
+    rows = (lde[0][:, perm], lde[1][:, perm])
+    leaves_lo = jax.lax.dynamic_update_slice(leaves_lo, rows[0], (b0, 0))
+    leaves_hi = jax.lax.dynamic_update_slice(leaves_hi, rows[1], (b0, 0))
+    coeffs_lo = jax.lax.dynamic_update_slice(coeffs_lo, cblock[0], (b0, 0))
+    coeffs_hi = jax.lax.dynamic_update_slice(coeffs_hi, cblock[1], (b0, 0))
+    return leaves_lo, leaves_hi, coeffs_lo, coeffs_hi
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _hash_and_reduce(leaves, cap_height: int, domain_chunk: int):
+    """leaves (L, N) pair -> digest levels; the leaf sponge runs per domain
+    chunk under lax.map so its (12, chunk) state temps stay bounded."""
+    lo, hi = leaves
+    L, N = lo.shape
+    if N <= domain_chunk:
+        return mkj.build_digest_levels(leaves, cap_height)
+    nchunk = N // domain_chunk
+    resh_lo = lo.reshape(L, nchunk, domain_chunk)
+    resh_hi = hi.reshape(L, nchunk, domain_chunk)
+
+    def body(i):
+        return mkj.hash_leaves_or_noop_cols((resh_lo[:, i], resh_hi[:, i]))
+
+    d = jax.lax.map(body, jnp.arange(nchunk))   # (nchunk, 4, chunk) pair
+    digests = (d[0].transpose(1, 0, 2).reshape(4, N),
+               d[1].transpose(1, 0, 2).reshape(4, N))
+    levels = [digests]
+    from ..utils.bits import log2_strict
+    for _ in range(log2_strict(N) - cap_height):
+        cur_lo, cur_hi = levels[-1]
+        from ..hash import poseidon_jax as pj
+        levels.append(pj.compress_pairs_cols(
+            (cur_lo[:, 0::2], cur_hi[:, 0::2]),
+            (cur_lo[:, 1::2], cur_hi[:, 1::2])))
+    return levels
+
+
+def _commit_chunked(pair, rate_bits: int, cap_height: int, salt,
+                    from_values: bool):
+    B, n = pair[0].shape
+    lde_size = n << rate_bits
+    salt_rows = salt[0].shape[0] if salt is not None else 0
+    leaves_lo = jnp.zeros((B + salt_rows, lde_size), jnp.uint32)
+    leaves_hi = jnp.zeros((B + salt_rows, lde_size), jnp.uint32)
+    coeffs_lo = jnp.zeros((B, n), jnp.uint32)
+    coeffs_hi = jnp.zeros((B, n), jnp.uint32)
+    for b0 in range(0, B, _POLY_BLOCK):
+        blk = min(_POLY_BLOCK, B - b0)
+        block = (jnp.asarray(pair[0][b0:b0 + blk]),
+                 jnp.asarray(pair[1][b0:b0 + blk]))
+        leaves_lo, leaves_hi, coeffs_lo, coeffs_hi = _ntt_block_write(
+            leaves_lo, leaves_hi, coeffs_lo, coeffs_hi, rate_bits,
+            from_values, block, b0)
+    if salt is not None:
+        leaves_lo = leaves_lo.at[B:].set(salt[0])
+        leaves_hi = leaves_hi.at[B:].set(salt[1])
+    leaves = (leaves_lo, leaves_hi)
+    levels = _hash_and_reduce(leaves, cap_height, 1 << 18)
+    return (coeffs_lo, coeffs_hi), leaves, levels
+
+
+def commit_from_values(values, rate_bits: int, cap_height: int, salt=None):
+    B, n = values[0].shape
+    if B * (n << rate_bits) * 8 > _CHUNK_BYTES_THRESHOLD:
+        return _commit_chunked(values, rate_bits, cap_height, salt, True)
+    return _commit_from_values_fused(values, rate_bits, cap_height, salt)
+
+
+def commit_from_coeffs(polys, rate_bits: int, cap_height: int, salt=None):
+    B, n = polys[0].shape
+    if B * (n << rate_bits) * 8 > _CHUNK_BYTES_THRESHOLD:
+        _, leaves, levels = _commit_chunked(polys, rate_bits, cap_height,
+                                            salt, False)
+        return leaves, levels
+    return _commit_from_coeffs_fused(polys, rate_bits, cap_height, salt)
 
 
 def device_salt(lde_size: int, seed: int | None = None,

@@ -49,7 +49,8 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
     public_inputs = partition_witness.get_targets(prover_data.public_inputs)
     public_inputs_hash = pos.hash_no_pad(np.array(public_inputs, dtype=np.uint64))
 
-    witness = partition_witness.full_witness()  # (num_wires, degree)
+    with timing.scope("materialize witness matrix"):
+        witness = partition_witness.full_witness()  # (num_wires, degree)
 
     wires_pair = None
     if use_device and gc.algebraic:
@@ -57,8 +58,12 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
         # device partial-products program read from it
         from ..field import gf_jax as gf
         from ..runtime.meshctx import put_pair
+        with timing.scope("split witness limbs"):
+            limbs = gf.from_u64(witness)
         with timing.scope("upload witness"):
-            wires_pair = put_pair(gf.from_u64(witness), axis=1)
+            wires_pair = put_pair(limbs, axis=1)
+            import jax
+            jax.block_until_ready(wires_pair)
 
     with timing.scope("compute wires commitment"):
         wires_commitment = PolynomialBatch.from_values(
@@ -125,8 +130,9 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
                                   zs_partial_products_commitment,
                                   quotient_polys_commitment, common_data)
     from ..fri.challenges import observe_openings
-    fri_openings = openings.to_fri_openings()
-    observe_openings(challenger, fri_openings)
+    with timing.scope("observe openings"):
+        fri_openings = openings.to_fri_openings()
+        observe_openings(challenger, fri_openings)
 
     oracles = [prover_data.constants_sigmas_commitment, wires_commitment,
                zs_partial_products_commitment, quotient_polys_commitment]
