@@ -891,8 +891,12 @@ class CpuStark(Stark):
     _STACK_BEHAVIORS = {
         "add": (2, True, True), "mul": (2, True, True),
         "sub": (2, True, True), "div": (2, True, True),
-        "mod_": (2, True, True), "addmod": (2, True, True),
-        "mulmod": (2, True, True), "addfp254": (2, True, True),
+        # ADDMOD/MULMOD pop THREE operands; the reference's
+        # BASIC_TERNARY_OP erroneously declares num_pops: 2
+        # (stack.rs:31-35) so its stack-length transition for these ops is
+        # wrong — fixed here (and exercised by executed-kernel proofs).
+        "mod_": (2, True, True), "addmod": (3, True, True),
+        "mulmod": (3, True, True), "addfp254": (2, True, True),
         "mulfp254": (2, True, True), "subfp254": (2, True, True),
         "lt": (2, True, True), "gt": (2, True, True),
         "eq": (2, True, True), "iszero": (1, True, True),

@@ -216,6 +216,53 @@ def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
         del S[-2:]
         S.append(r)
         st.pc = pc + 1
+    elif op in (0x1B, 0x1C):                         # SHL / SHR
+        shift_amt, value = S[-1], S[-2]
+        if shift_amt >= 256:
+            r = 0
+        elif op == 0x1B:
+            r = (value << shift_amt) & MASK256
+        else:
+            r = value >> shift_amt
+        wire_stack_op(trace, j, op, S, push_value=r, context=st.context)
+        # channel 2 reads 2^disp from the kernel shift table when the
+        # displacement fits 32 bits (cpu.py _eval_shift, shift.rs:11-60)
+        if shift_amt < (1 << 32):
+            two_exp = st.memory.get((0, int(Segment.ShiftTable), shift_amt))
+            if two_exp is None:
+                raise ValueError(
+                    "SHL/SHR executed before Segment::ShiftTable was "
+                    "initialized — run kernel.stdlib.SHIFT_TABLE_INIT first")
+            _wire_channel(trace, j, MEM_CHANNELS[2], is_read=True, context=0,
+                          segment=int(Segment.ShiftTable), virt=shift_amt,
+                          value=two_exp)
+        else:
+            from .cpu import GENERAL
+            hi_sum = sum((shift_amt >> (32 * i)) & 0xFFFFFFFF
+                         for i in range(1, VALUE_LIMBS)) % gl.P
+            trace[GENERAL[0], j] = pow(hi_sum, gl.P - 2, gl.P)
+        del S[-2:]
+        S.append(r)
+        st.pc = pc + 1
+    elif op in (0x08, 0x09):                         # ADDMOD / MULMOD
+        a, b, N = S[-1], S[-2], S[-3]
+        if N == 0:
+            r = 0
+        elif op == 0x08:
+            r = (a + b) % N
+        else:
+            r = (a * b) % N
+        wire_stack_op(trace, j, op, S, push_value=r, context=st.context)
+        del S[-3:]
+        S.append(r)
+        st.pc = pc + 1
+    elif op == 0x1A:                                 # BYTE
+        i_b, x = S[-1], S[-2]
+        r = (x >> (8 * (31 - i_b))) & 0xFF if i_b < 32 else 0
+        wire_stack_op(trace, j, op, S, push_value=r, context=st.context)
+        del S[-2:]
+        S.append(r)
+        st.pc = pc + 1
     elif op == 0x19:                                 # NOT
         x = S[-1]
         r = x ^ MASK256
