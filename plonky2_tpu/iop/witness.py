@@ -148,9 +148,12 @@ class PartitionWitness:
 
     def full_witness(self) -> np.ndarray:
         """(num_wires, degree) wire value matrix (MatrixWitness)."""
-        out = np.zeros((self.num_wires, self.degree), dtype=np.uint64)
-        # wire targets occupy the first degree*num_wires flat indices, row-major
+        return self.full_witness_rowmajor().T.copy()
+
+    def full_witness_rowmajor(self) -> np.ndarray:
+        """(degree, num_wires) wire values — the union-find's native order,
+        materialized with ONE gather and no transpose (the 0.5 GB host
+        transpose costs seconds-to-minutes on shared hosts; the device
+        path transposes on chip instead)."""
         reps = np.asarray(self.rep_map[: self.degree * self.num_wires])
-        vals = self.values[reps].reshape(self.degree, self.num_wires)
-        out[:, :] = vals.T
-        return out
+        return self.values[reps].reshape(self.degree, self.num_wires)

@@ -7,6 +7,7 @@ JaxBatch drop-in for TPU execution.
 """
 from __future__ import annotations
 
+import functools
 from typing import List
 
 import numpy as np
@@ -49,21 +50,26 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
     public_inputs = partition_witness.get_targets(prover_data.public_inputs)
     public_inputs_hash = pos.hash_no_pad(np.array(public_inputs, dtype=np.uint64))
 
-    with timing.scope("materialize witness matrix"):
-        witness = partition_witness.full_witness()  # (num_wires, degree)
-
     wires_pair = None
     if use_device and gc.algebraic:
-        # upload the witness ONCE; both the wires commitment and the
-        # device partial-products program read from it
+        # upload the witness ONCE (in the union-find's row-major order, no
+        # host transpose) and transpose on chip; both the wires commitment
+        # and the device partial-products program read the result
+        import jax
+
         from ..field import gf_jax as gf
         from ..runtime.meshctx import put_pair
+        with timing.scope("materialize witness matrix"):
+            witness_rm = partition_witness.full_witness_rowmajor()
         with timing.scope("split witness limbs"):
-            limbs = gf.from_u64(witness)
+            limbs = gf.from_u64(witness_rm)
         with timing.scope("upload witness"):
-            wires_pair = put_pair(limbs, axis=1)
-            import jax
+            up = put_pair(limbs, axis=0)
+            wires_pair = _transpose_pair(up[0], up[1])
             jax.block_until_ready(wires_pair)
+    else:
+        with timing.scope("materialize witness matrix"):
+            witness = partition_witness.full_witness()  # (num_wires, degree)
 
     with timing.scope("compute wires commitment"):
         wires_commitment = PolynomialBatch.from_values(
@@ -155,6 +161,17 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
             openings=openings,
             opening_proof=opening_proof),
         public_inputs=public_inputs)
+
+
+def _transpose_pair(lo, hi):
+    return _transpose_pair_jit()(lo, hi)
+
+
+@functools.lru_cache(maxsize=1)
+def _transpose_pair_jit():
+    import jax
+
+    return jax.jit(lambda lo, hi: (lo.T, hi.T))
 
 
 def _all_wires_partial_products(witness: np.ndarray, betas, gammas,
