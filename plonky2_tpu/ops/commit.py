@@ -74,7 +74,7 @@ def _commit_from_values_fused(values, rate_bits: int, cap_height: int,
 # temps) and reduces the digest levels.
 
 _POLY_BLOCK = 32
-_CHUNK_BYTES_THRESHOLD = 1 << 30
+_CHUNK_BYTES_THRESHOLD = 1 << 28
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5),
