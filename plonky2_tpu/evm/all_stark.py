@@ -200,17 +200,39 @@ def generate_all_traces(ops: List[KeccakSpongeOp],
     return [keccak_trace, sponge_trace, logic_trace, memory_trace]
 
 
-def make_all_stark_with_cpu(kernel) -> AllStark:
+def arithmetic_range_check_policy(range_check, arith_ops) -> bool:
+    """Resolve the 16-bit limb range-check flag for the arithmetic table.
+
+    ``None`` (the default) auto-enables it whenever the arithmetic trace
+    reaches production height (>= RC_MIN_ROWS = 2^16, the height at which
+    the 0..2^16-1 counter column fits without padding the table).  Below
+    that height the check is OFF by default — small-trace proofs pay no
+    2^16-row padding, but their CTL-bound limb columns are NOT constrained
+    to 16 bits (still strictly stronger than the reference, whose
+    range_check_error! is a no-op at every height, utils.rs:10-31); pass
+    ``range_check=True`` to force it."""
+    if range_check is not None:
+        return bool(range_check)
+    from .arithmetic import RC_MIN_ROWS
+    rows_needed = sum(op.num_rows() for op in arith_ops)
+    return rows_needed >= RC_MIN_ROWS
+
+
+def make_all_stark_with_cpu(kernel, range_check: bool = False) -> AllStark:
+    """``range_check`` must match the flag the traces were generated with
+    (it changes the arithmetic table's column count)."""
     from .arithmetic import ArithmeticStark
     from .cpu import CpuStark
     return AllStark(
         starks=[CpuStark(kernel), KeccakStark(), KeccakSpongeStark(),
-                LogicStark(), MemoryStark(), ArithmeticStark()],
+                LogicStark(), MemoryStark(),
+                ArithmeticStark(range_check=range_check)],
         cross_table_lookups=all_cross_table_lookups_with_cpu())
 
 
 def generate_all_traces_with_cpu(kernel, min_rows: int = 8,
-                                 execution=None) -> List[np.ndarray]:
+                                 execution=None,
+                                 range_check=None) -> List[np.ndarray]:
     """Witness generation for the 5-table system: the CPU bootstraps the
     kernel into memory, the sponge hashes it, and the CPU looks up the
     resulting code digest (reference generation/ + bootstrap_kernel.rs).
@@ -243,7 +265,8 @@ def generate_all_traces_with_cpu(kernel, min_rows: int = 8,
                                               min_rows=min_rows)
     memory_trace = MemoryStark().generate_trace(cpu_memory_ops
                                                 + sponge_memory_ops)
-    arith_trace = ArithmeticStark().generate_trace(cpu_arith_ops,
-                                                   min_rows=min_rows)
+    rc = arithmetic_range_check_policy(range_check, cpu_arith_ops)
+    arith_trace = ArithmeticStark(range_check=rc).generate_trace(
+        cpu_arith_ops, min_rows=min_rows)
     return [cpu_trace, keccak_trace, sponge_trace, logic_trace, memory_trace,
             arith_trace]

@@ -92,7 +92,15 @@ class TrieRoots:
 
 @dataclass
 class PublicValues:
-    """reference proof.rs:36-50."""
+    """reference proof.rs:36-50.
+
+    SOUNDNESS CAVEAT: the trie-root digests enter the kernel through
+    PROVER_INPUT and are not yet bound to the loaded trie data by the STARK
+    itself (in-kernel KECCAK_GENERAL trie hashing is future work).  The
+    host-side trace generator cross-checks them against independently
+    recomputed ``PartialTrie.calc_hash()`` roots and refuses to emit
+    mismatching PublicValues, but a verifier of a third-party proof must not
+    treat these roots as proof-bound."""
     trie_roots_before: TrieRoots
     trie_roots_after: TrieRoots
     block_metadata: BlockMetadata
@@ -250,8 +258,13 @@ def block_kernel() -> Kernel:
 # trace generation + proving (reference generation/mod.rs:68-136)
 # ---------------------------------------------------------------------------
 
-def generate_block_traces(inputs: GenerationInputs, min_rows: int = 8):
-    """Returns (traces for the 6-table AllStark, PublicValues, kernel)."""
+def generate_block_traces(inputs: GenerationInputs, min_rows: int = 8,
+                          range_check=None):
+    """Returns (traces for the 6-table AllStark, PublicValues, kernel).
+
+    ``range_check``: arithmetic-table 16-bit limb range check — None (auto
+    at production heights), True, or False; see
+    ``all_stark.arithmetic_range_check_policy``."""
     from .all_stark import generate_all_traces_with_cpu
     from .generation import generate_kernel_execution
 
@@ -260,13 +273,31 @@ def generate_block_traces(inputs: GenerationInputs, min_rows: int = 8):
     ex = generate_kernel_execution(kernel, min_rows=min_rows,
                                    prover_input_factory=provider_factory)
     traces = generate_all_traces_with_cpu(kernel, min_rows=min_rows,
-                                          execution=ex)
+                                          execution=ex,
+                                          range_check=range_check)
 
     from .memory import Segment
     mem = ex.final_state.memory
 
     def read_meta(ix: int) -> int:
         return mem.get((0, int(Segment.GlobalMetadata), ix), 0)
+
+    # The before-digests enter the kernel via PROVER_INPUT — an
+    # unconstrained prover-chosen witness.  Until in-kernel KECCAK_GENERAL
+    # trie hashing binds them, refuse to emit PublicValues whose roots
+    # disagree with an independent host recomputation of the loaded tries.
+    expected = TrieRoots(
+        state_root=inputs.tries.state_trie.calc_hash(),
+        transactions_root=inputs.tries.transactions_trie.calc_hash(),
+        receipts_root=inputs.tries.receipts_trie.calc_hash())
+    got = (read_meta(GlobalMetadata.STATE_TRIE_ROOT_DIGEST_BEFORE),
+           read_meta(GlobalMetadata.TRANSACTION_TRIE_ROOT_DIGEST_BEFORE),
+           read_meta(GlobalMetadata.RECEIPT_TRIE_ROOT_DIGEST_BEFORE))
+    if got != (expected.state_root, expected.transactions_root,
+               expected.receipts_root):
+        raise ValueError(
+            "kernel-loaded trie-root digests disagree with independently "
+            f"recomputed roots: {got} vs {expected}")
 
     public_values = PublicValues(
         trie_roots_before=TrieRoots(
@@ -281,17 +312,26 @@ def generate_block_traces(inputs: GenerationInputs, min_rows: int = 8):
     return traces, public_values, kernel
 
 
-def prove_block(inputs: GenerationInputs, config=None, min_rows: int = 8):
+def prove_block(inputs: GenerationInputs, config=None, min_rows: int = 8,
+                range_check=None):
     """GenerationInputs -> AllProof with PublicValues (reference
-    prover.rs prove + generation/mod.rs generate_traces)."""
+    prover.rs prove + generation/mod.rs generate_traces).
+
+    ``range_check=None`` auto-enables the arithmetic table's 16-bit limb
+    range check at production heights (>= 2^16 arithmetic rows)."""
     from ..stark.config import StarkConfig
     from .all_stark import make_all_stark_with_cpu
+    from .arithmetic import NUM_ARITH_RC_COLUMNS
     from .prover import prove_all
 
     config = config if config is not None else \
         StarkConfig.standard_fast_config()
-    traces, public_values, kernel = generate_block_traces(inputs)
-    all_stark = make_all_stark_with_cpu(kernel)
+    traces, public_values, kernel = generate_block_traces(
+        inputs, min_rows=min_rows, range_check=range_check)
+    # resolve the flag from the generated trace layout so the Stark
+    # instance can never drift from the witness
+    rc = traces[-1].shape[0] == NUM_ARITH_RC_COLUMNS
+    all_stark = make_all_stark_with_cpu(kernel, range_check=rc)
     proof = prove_all(all_stark, config, traces)
     proof.public_values = public_values
     return proof, all_stark

@@ -20,8 +20,11 @@ table gating, dup/swap, memio (MLOAD/MSTORE_GENERAL), syscall dispatch,
 control flow (native pc increment; kernel start/halt endgame gated on halt
 labels), per-op stack behaviors and stack bounds.  The full-execution
 witness generator that runs a program into these rows lives in
-`generation.py` (reference witness/ + generation/); gas accounting and the
-arithmetic-table CTL (binding ADD/MUL/... results) are future work."""
+`generation.py` (reference witness/ + generation/).  The arithmetic-table
+CTL is live: ADD/MUL/SUB/LT/GT (and the modular ops) look their
+(input0, input1, result) triples up in the arithmetic table — see
+``ctl_arithmetic_rows`` below and `all_stark.py`.  Gas accounting is
+future work."""
 from __future__ import annotations
 
 from dataclasses import dataclass

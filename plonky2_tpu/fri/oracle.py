@@ -236,7 +236,6 @@ class PolynomialBatch:
                        hasher=POSEIDON_CONFIG) -> FriProof:
         """reference fri/oracle.rs:1047-1113."""
         alpha = challenger.get_extension_challenge()
-        count = 0
         degree = oracles[0].polynomials.shape[-1]
         final_poly = np.zeros((degree - 1, 2), dtype=np.uint64)
 
@@ -247,12 +246,15 @@ class PolynomialBatch:
             composition = _reduce_polys_base(polys, alpha)   # (degree, 2)
             k = polys.shape[0]
             quotient = _divide_by_linear_ext(composition, batch.point)
-            # final_poly = final_poly * alpha^count + quotient
-            shift = np.array(ge.s_exp(alpha, count + k), dtype=np.uint64)
+            # final_poly <- final_poly * alpha^k + quotient.  The reference's
+            # ReducingFactor (reducing.rs) counts k consumed powers during
+            # reduce_polys_base and shift_poly() then multiplies by
+            # alpha^count and resets the counter — so the accumulated shift
+            # per batch is exactly alpha^k, written here directly.
+            shift = np.array(ge.s_exp(alpha, k), dtype=np.uint64)
             final_poly = ge.add(ge.mul(final_poly,
                                        np.broadcast_to(shift, final_poly.shape)),
                                 quotient)
-            count = 0
         # multiply by X (max-degree trick, reference oracle.rs:1084)
         final_poly = np.concatenate(
             [np.zeros((1, 2), dtype=np.uint64), final_poly], axis=0)  # (degree, 2)

@@ -98,6 +98,23 @@ class ArithmeticBaseGenerator(SimpleGenerator):
         val = gl.add(gl.mul(gl.mul(m0, m1), c0), gl.mul(ad, c1))
         return val[:, None]
 
+    @classmethod
+    def device_meta(cls, gens):
+        import numpy as np
+        return np.array([[g.const_0 for g in gens],
+                         [g.const_1 for g in gens]], dtype=np.uint64)
+
+    @classmethod
+    def run_batch_device(cls, meta, dep):
+        from ..field import gf_jax as gf
+        c0 = (meta[0][0], meta[1][0])
+        c1 = (meta[0][1], meta[1][1])
+        m0 = (dep[0][:, 0], dep[1][:, 0])
+        m1 = (dep[0][:, 1], dep[1][:, 1])
+        ad = (dep[0][:, 2], dep[1][:, 2])
+        val = gf.add(gf.mul(gf.mul(m0, m1), c0), gf.mul(ad, c1))
+        return val[0][None, :], val[1][None, :]
+
     def run_once(self, witness, out):
         m0 = witness.get_target(("w", self.row, ArithmeticGate.wire_ith_multiplicand_0(self.i)))
         m1 = witness.get_target(("w", self.row, ArithmeticGate.wire_ith_multiplicand_1(self.i)))

@@ -173,6 +173,13 @@ class PoseidonGenerator(SimpleGenerator):
     batch_chunk = 1 << 12
 
     @classmethod
+    def run_batch_device(cls, meta, dep):
+        """(G, 13) GF dep pair -> (122, G) GF wire pair (device witness
+        plan wave; see hash/poseidon_wires_jax.py)."""
+        from ..hash.poseidon_wires_jax import poseidon_wire_batch
+        return poseidon_wire_batch(dep)
+
+    @classmethod
     def run_batch(cls, gens, dep_vals):
         """All ready Poseidon rows as ONE vectorized numpy permutation —
         the same algebra-generic round functions as run_once, with (G,)

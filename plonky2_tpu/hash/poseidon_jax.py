@@ -27,7 +27,10 @@ from . import poseidon as pos
 WIDTH = pos.WIDTH
 SPONGE_RATE = pos.SPONGE_RATE
 
-_MDS_I32 = jnp.asarray(pos.MDS_MATRIX.astype(np.int32))  # (12, 12), entries < 64
+# kept as NUMPY: a module-level jnp.asarray would create a traced constant
+# if this module is first imported inside a jit trace (device witness plans
+# import it lazily) and leak that tracer into later traces
+_MDS_I32 = pos.MDS_MATRIX.astype(np.int32)  # (12, 12), entries < 64
 
 
 @functools.lru_cache(maxsize=None)

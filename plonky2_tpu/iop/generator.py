@@ -77,6 +77,14 @@ class ConstantGenerator(SimpleGenerator):
     def run_batch(cls, gens, dep_vals):
         return np.array([g.constant for g in gens], dtype=np.uint64)[:, None]
 
+    @classmethod
+    def device_meta(cls, gens):
+        return np.array([g.constant for g in gens], dtype=np.uint64)
+
+    @classmethod
+    def run_batch_device(cls, meta, dep):
+        return meta[0][None, :], meta[1][None, :]
+
     def run_once(self, witness, out):
         out.append((("w", self.row, self.wire_index), self.constant))
 
@@ -97,6 +105,10 @@ class CopyGenerator(SimpleGenerator):
     @classmethod
     def run_batch(cls, gens, dep_vals):
         return dep_vals
+
+    @classmethod
+    def run_batch_device(cls, meta, dep):
+        return dep[0].T, dep[1].T
 
     def run_once(self, witness, out):
         out.append((self.dst, witness.get_target(self.src)))
@@ -246,18 +258,19 @@ def generate_partial_witness(inputs: PartialWitness, prover_data,
                 flat_r = out_rows.ravel()
                 flat_v = out_vals.ravel()
                 already = is_set[flat_r]
-                if already.any():
-                    assert np.array_equal(values[flat_r[already]],
-                                          flat_v[already]), (
+                if already.any() and not np.array_equal(
+                        values[flat_r[already]], flat_v[already]):
+                    raise ValueError(
                         f"{group.cls.__name__}: batch write conflicts with "
                         "already-set partition values")
                 fresh = ~already
                 values[flat_r[fresh]] = flat_v[fresh]
                 is_set[flat_r[fresh]] = True
                 # duplicate writes inside one batch must agree (copy classes)
-                assert np.array_equal(values[flat_r], flat_v), (
-                    f"{group.cls.__name__}: conflicting duplicate writes in "
-                    "batch")
+                if not np.array_equal(values[flat_r], flat_v):
+                    raise ValueError(
+                        f"{group.cls.__name__}: conflicting duplicate writes "
+                        "in batch")
                 if fresh.any():
                     newly.append(np.unique(flat_r[fresh]))
                 expired[group.gen_idx[slots_r]] = True

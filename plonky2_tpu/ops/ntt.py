@@ -60,19 +60,16 @@ def bitrev_perm_auto(n: int):
 
 
 def powers_dev(base: int, n: int):
-    """[1, base, ..., base^(n-1)] as a GF pair, built IN-TRACE by
-    log-doubling from host-int squarings (log2(n) concats + mul_consts —
-    no n-element constant in the module)."""
-    x = gf.ones((1,))
-    k = 1
-    step = base % gl.P
-    while k < n:
-        take = min(k, n - k)
-        seg = gf.mul_const((x[0][:take], x[1][:take]), step)
-        x = (jnp.concatenate([x[0], seg[0]]), jnp.concatenate([x[1], seg[1]]))
-        k += take
-        step = (step * step) % gl.P
-    return x
+    """[1, base, ..., base^(n-1)] as a GF pair, built IN-TRACE (no
+    n-element constant in the module): inclusive associative_scan over
+    [1, base, base, ...].  Modular mul is associative so the scan tree is
+    bit-identical to sequential powers; the scan also compiles ~10x
+    faster than the log-doubling concat chain it replaced (XLA chokes on
+    deep concat-of-slice chains)."""
+    b = base % gl.P
+    xs = (jnp.full((n,), b & 0xFFFFFFFF, jnp.uint32).at[0].set(1),
+          jnp.full((n,), b >> 32, jnp.uint32).at[0].set(0))
+    return jax.lax.associative_scan(lambda a, c: gf.mul(a, c), xs)
 
 
 def _ntt_core(a_lo, a_hi, twiddles):

@@ -56,16 +56,14 @@ def _zs_pp_fn(nr: int, degree: int, qdf: int, num_prods: int, nch: int):
         ones_d = gf.ones((degree,))
         _, cum = lax.scan(mul_step, ones_d, chunk)       # (nchunks, degree)
         full_row = (cum[0][-1], cum[1][-1])
-        # exclusive running product over the subgroup, log-doubling
-        z = (jnp.concatenate([jnp.ones(1, jnp.uint32), full_row[0][:-1]]),
-             jnp.concatenate([jnp.zeros(1, jnp.uint32), full_row[1][:-1]]))
-        shift = 1
-        while shift < degree:
-            prod = gf.mul((z[0][shift:], z[1][shift:]),
-                          (z[0][:-shift], z[1][:-shift]))
-            z = (jnp.concatenate([z[0][:shift], prod[0]]),
-                 jnp.concatenate([z[1][:shift], prod[1]]))
-            shift <<= 1
+        # exclusive running product over the subgroup: inclusive
+        # associative_scan shifted right by one.  Modular mul is fully
+        # associative so the tree association is bit-identical to the
+        # sequential oracle — and the scan compiles ~10x faster than a
+        # hand-rolled log-doubling concat chain (XLA CPU chokes on those).
+        inc = lax.associative_scan(lambda a, b: gf.mul(a, b), full_row)
+        z = (jnp.concatenate([jnp.ones(1, jnp.uint32), inc[0][:-1]]),
+             jnp.concatenate([jnp.zeros(1, jnp.uint32), inc[1][:-1]]))
         pps = gf.mul((cum[0][:num_prods], cum[1][:num_prods]),
                      (z[0][None], z[1][None]))           # (num_prods, degree)
         return z, pps

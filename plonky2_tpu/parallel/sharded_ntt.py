@@ -38,26 +38,22 @@ def _step2_twiddles(n1: int, n2: int, inverse: bool):
 
 
 def _step2_twiddles_built(n1: int, n2: int, inverse: bool):
-    """Same table, built IN-TRACE by column doubling from (n1,)-sized host
-    constants: W[:, m:2m] = W[:, :m] * g^(k1*m).  The materialized numpy
-    table is n elements — inlined into the HLO it made 2^21-point commit
-    modules ~160 MB and broke the TPU compile service."""
+    """Same table, built IN-TRACE from an (n1,)-sized host constant (the
+    materialized numpy table is n elements — inlined into the HLO it made
+    2^21-point commit modules ~160 MB and broke the TPU compile service):
+    row k1 is an inclusive associative_scan over [1, r, r, ...] with
+    r = g^k1.  Modular mul is associative, so bit-identical to sequential
+    powers — and the scan compiles ~10x faster than the column-doubling
+    concat chain it replaced."""
     n = n1 * n2
     g = gl.primitive_root_of_unity(log2_strict(n))
     if inverse:
         g = gl.s_inv(g)
-    rows_host = gl.powers(g, n1)                    # (n1,) small constant
-    W = gf.ones((n1, 1))
-    m = 1
-    while m < n2:
-        take = min(m, n2 - m)
-        rows_m = gf.from_u64(gl.exp_u64(rows_host, m))
-        seg = gf.mul((W[0][:, :take], W[1][:, :take]),
-                     (rows_m[0][:, None], rows_m[1][:, None]))
-        W = (jnp.concatenate([W[0], seg[0]], axis=1),
-             jnp.concatenate([W[1], seg[1]], axis=1))
-        m += take
-    return W
+    rows = gf.from_u64(gl.powers(g, n1))            # (n1,) small constant
+    xs = (jnp.broadcast_to(jnp.asarray(rows[0])[:, None], (n1, n2)),
+          jnp.broadcast_to(jnp.asarray(rows[1])[:, None], (n1, n2)))
+    xs = (xs[0].at[:, 0].set(1), xs[1].at[:, 0].set(0))
+    return jax.lax.associative_scan(lambda a, c: gf.mul(a, c), xs, axis=1)
 
 
 def _ntt_along_axis0(a, n1: int, inverse: bool):

@@ -44,14 +44,34 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
     zk = config.zero_knowledge
     gc = common_data.hasher()
 
-    with timing.scope("run generators"):
-        partition_witness = generate_partial_witness(inputs, prover_data,
-                                                     common_data)
-    public_inputs = partition_witness.get_targets(prover_data.public_inputs)
-    public_inputs_hash = pos.hash_no_pad(np.array(public_inputs, dtype=np.uint64))
-
     wires_pair = None
+    plan = None
     if use_device and gc.algebraic:
+        from ..iop.device_witness import get_plan
+        plan = get_plan(prover_data, common_data, inputs)
+    if plan is not None:
+        # the full generator fixpoint runs ON DEVICE as one jitted program
+        # (iop/device_witness.py) — only the input values cross the wire
+        import jax
+
+        from ..iop.device_witness import _PlanMismatch
+        with timing.scope("device witness"):
+            try:
+                wires_pair, _, public_inputs = plan.run(inputs)
+            except _PlanMismatch:
+                from ..iop.device_witness import get_plan as _gp
+                plan = _gp(prover_data, common_data, inputs, rebuild=True)
+                wires_pair, _, public_inputs = plan.run(inputs)
+            jax.block_until_ready(wires_pair)
+        public_inputs_hash = pos.hash_no_pad(
+            np.array(public_inputs, dtype=np.uint64))
+    elif use_device and gc.algebraic:
+        with timing.scope("run generators"):
+            partition_witness = generate_partial_witness(inputs, prover_data,
+                                                         common_data)
+        public_inputs = partition_witness.get_targets(prover_data.public_inputs)
+        public_inputs_hash = pos.hash_no_pad(
+            np.array(public_inputs, dtype=np.uint64))
         # upload the witness ONCE (in the union-find's row-major order, no
         # host transpose) and transpose on chip; both the wires commitment
         # and the device partial-products program read the result
@@ -71,6 +91,12 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
             del limbs, witness_rm
             jax.block_until_ready(wires_pair)
     else:
+        with timing.scope("run generators"):
+            partition_witness = generate_partial_witness(inputs, prover_data,
+                                                         common_data)
+        public_inputs = partition_witness.get_targets(prover_data.public_inputs)
+        public_inputs_hash = pos.hash_no_pad(
+            np.array(public_inputs, dtype=np.uint64))
         with timing.scope("materialize witness matrix"):
             witness = partition_witness.full_witness()  # (num_wires, degree)
 
