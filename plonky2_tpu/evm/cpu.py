@@ -916,6 +916,11 @@ class CpuStark(Stark):
         "mload_general": (3, True, False),
         "mstore_general": (4, False, False),
         "syscall": (0, True, False),
+        # the reference leaves both unwired (stack.rs:101 `consume_gas:
+        # None // TODO`, no `gas` entry): GAS pushes the remaining gas,
+        # CONSUME_GAS pops the amount to charge
+        "gas": (0, True, True),
+        "consume_gas": (1, False, True),
     }
     MAX_USER_STACK_SIZE = 1024
 

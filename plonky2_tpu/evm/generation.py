@@ -29,8 +29,13 @@ table via a live CTL (which the reference never wires), and
 KECCAK_GENERAL hashes a memory range through the sponge CTL (digest
 pushed in the sponge's little-endian u32-limb encoding).  PROVER_INPUT
 executes through a pluggable provider (evm/block.py BlockProverInputs,
-reference generation/prover_input.rs).  DIV/MOD execute but their two-row
-modular CTL is future work, as are SYSCALL / EXIT_KERNEL execution.
+reference generation/prover_input.rs).  SYSCALL traps through the kernel's
+syscall jumptable and EXIT_KERNEL returns (reference operation.rs:486-523,
+553-580); GAS/CONSUME_GAS execute with real gas accounting (the reference
+leaves both as todo!(), transition.rs:212-216).  User-mode execution
+fetches code from the context's Code segment and requires jumpdest bits
+for taken jumps.  DIV/MOD execute but their two-row modular CTL is future
+work.
 """
 from __future__ import annotations
 
@@ -40,10 +45,10 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from ..field import goldilocks as gl
-from .cpu import (CLOCK, CODE_CONTEXT, JUMPS_COND_SUM_PINV, JUMPS_SHOULD_JUMP,
-                  MEM_CHANNELS, MEM_CODE_CHANNEL_IDX, MEM_GP_CHANNELS_IDX_START,
-                  NUM_CHANNELS, NUM_CPU_COLUMNS, NUM_GP_CHANNELS,
-                  PROGRAM_COUNTER, STACK_LEN, VALUE_LIMBS,
+from .cpu import (CLOCK, CODE_CONTEXT, IS_KERNEL_MODE, JUMPS_COND_SUM_PINV,
+                  JUMPS_SHOULD_JUMP, MEM_CHANNELS, MEM_CODE_CHANNEL_IDX,
+                  MEM_GP_CHANNELS_IDX_START, NUM_CHANNELS, NUM_CPU_COLUMNS,
+                  NUM_GP_CHANNELS, OP, PROGRAM_COUNTER, STACK_LEN, VALUE_LIMBS,
                   fill_cycle_row, generate_bootstrap_kernel,
                   set_eq_iszero_values, set_stack_bounds_aux, set_u256_channel,
                   wire_stack_op)
@@ -70,6 +75,14 @@ class ExecState:
     # PROVER_INPUT dispatch: callable(fn_tuple, state) -> int
     # (reference generation/prover_input.rs; evm/block.py BlockProverInputs)
     prover_input: object = None
+    # privilege flag (reference registers_state.rs is_kernel); execution
+    # starts in the kernel and leaves via EXIT_KERNEL
+    is_kernel: bool = True
+    # gas accounting (reference leaves Operation::Gas/ConsumeGas as todo!(),
+    # transition.rs:212-216; implemented here): CONSUME_GAS adds to
+    # gas_used, GAS pushes gas_limit - gas_used
+    gas_used: int = 0
+    gas_limit: int = 0
 
 
 @dataclass
@@ -121,10 +134,60 @@ _BINOPS = {
     0x10: lambda x, y: int(x < y),                   # LT
     0x11: lambda x, y: int(x > y),                   # GT
 }
+# opcodes that trap to the kernel's syscall jumptable in ANY mode
+# (reference witness/transition.rs:27-140 decode; contiguous ranges spelled
+# out there are collapsed here)
+_SYSCALL_OPS = frozenset(
+    [0x00, 0x05, 0x07, 0x0A, 0x0B, 0x12, 0x13, 0x1D, 0x20]
+    + list(range(0x30, 0x49))                        # environment ops
+    + [0x51, 0x52, 0x53, 0x54, 0x55, 0x59]
+    + list(range(0xA0, 0xA5))                        # LOG0..LOG4
+    + list(range(0xF0, 0xF6))                        # CREATE..DELEGATECALL
+    + [0xFA, 0xFD, 0xFF])
+# kernel-only opcodes: invalid (not syscalls) in user mode
+_KERNEL_ONLY_OPS = frozenset(
+    [0x0C, 0x0D, 0x0E, 0x21, 0x49, 0xF6, 0xF7, 0xF8, 0xF9, 0xFB, 0xFC])
 # binops whose result the arithmetic-table CTL binds (one-row ops; DIV/MOD
 # are two-row modular ops whose CTL is not wired yet)
 _ARITH_CTL = {0x01: "add", 0x02: "mul", 0x03: "sub", 0x10: "lt", 0x11: "gt"}
 _LOGIC = {0x16: "and", 0x17: "or", 0x18: "xor"}
+
+
+def _fill_syscall(trace, j: int, st: ExecState, kernel: Kernel, op: int,
+                  pc: int) -> None:
+    """Trap to the kernel's syscall handler (reference generate_syscall,
+    witness/operation.rs:486-523; constraints cpu.py _eval_syscalls):
+    channels 0..2 read the 3-byte handler address from the syscall
+    jumptable in kernel code, the push channel writes
+    kexit_info = (pc+1) + (is_kernel << 32), and the next row enters the
+    handler in kernel mode."""
+    from .cpu import OP, PROGRAM_COUNTER, IS_KERNEL_MODE
+    from .kernel.assembler import BYTES_PER_OFFSET
+
+    if "syscall_jumptable" not in kernel.global_labels:
+        raise NotImplementedError(
+            f"opcode {op:#04x} at pc {pc} traps to the syscall jumptable, "
+            "but this kernel defines no `syscall_jumptable` label")
+    S = st.stack
+    trace[OP["syscall"], j] = 1
+    jt = kernel.global_labels["syscall_jumptable"]
+    addr0 = jt + op * BYTES_PER_OFFSET
+    hb = kernel.code[addr0:addr0 + BYTES_PER_OFFSET]
+    handler = int.from_bytes(hb, "big")
+    for i in range(BYTES_PER_OFFSET):
+        _wire_channel(trace, j, MEM_CHANNELS[i], is_read=True, context=0,
+                      segment=int(Segment.Code), virt=addr0 + i,
+                      value=hb[i])
+    info = (pc + 1) + (int(st.is_kernel) << 32)
+    _wire_channel(trace, j, MEM_CHANNELS[NUM_GP_CHANNELS - 1],
+                  is_read=False, context=st.context,
+                  segment=int(Segment.Stack), virt=len(S), value=info)
+    S.append(info)
+    st.pc = handler
+    st.is_kernel = True
+    if j + 1 < trace.shape[1]:
+        trace[PROGRAM_COUNTER, j + 1] = handler
+        trace[IS_KERNEL_MODE, j + 1] = 1
 
 
 def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
@@ -135,15 +198,25 @@ def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
     """Execute one instruction into trace row j and advance the state."""
     code = kernel.code
     pc = st.pc
-    if pc >= len(code):
-        raise ValueError(f"pc {pc} ran off the end of the kernel code")
-    op = code[pc]
+
+    def code_byte(ix: int) -> int:
+        """Code fetch: kernel bytecode in kernel mode, the context's Code
+        segment in user mode (reference memio.rs code_context)."""
+        if st.is_kernel:
+            if ix >= len(code):
+                raise ValueError(
+                    f"pc {ix} ran off the end of the kernel code")
+            return code[ix]
+        return st.memory.get((st.context, int(Segment.Code), ix), 0) & 0xFF
+
+    op = code_byte(pc)
     S = st.stack
 
     # stack_len must be in place before fill_cycle_row's bounds-aux witness
     # runs (it checks pops against a zero stack otherwise)
     trace[STACK_LEN, j] = len(S)
-    fill_cycle_row(trace, j, op, kernel_mode=True, context=st.context, pc=pc)
+    fill_cycle_row(trace, j, op, kernel_mode=st.is_kernel,
+                   context=st.context, pc=pc)
     # every cycle reads its opcode byte through the code channel
     # (cpu_stark.rs ctl_data_code_memory)
     memory_ops.append(MemoryOp(
@@ -151,9 +224,21 @@ def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
         is_read=True, context=int(trace[CODE_CONTEXT, j]),
         segment=int(Segment.Code), virt=pc, value=op))
 
+    if op in _SYSCALL_OPS:
+        _fill_syscall(trace, j, st, kernel, op, pc)
+        set_stack_bounds_aux(trace, j)
+        _channel_mem_ops(trace, j, memory_ops)
+        return
+    if not st.is_kernel and op in _KERNEL_ONLY_OPS:
+        # reference decode: kernel-only opcodes are invalid in user mode
+        # (transition.rs InvalidOpcode)
+        raise ValueError(
+            f"kernel-only opcode {op:#04x} executed in user mode at pc {pc}")
+
     if 0x60 <= op < 0x80:                            # PUSH1..PUSH32
         n = op - 0x5F
-        val = int.from_bytes(code[pc + 1:pc + 1 + n], "big")
+        val = int.from_bytes(bytes(code_byte(pc + 1 + i) for i in range(n)),
+                             "big")
         wire_stack_op(trace, j, op, S, context=st.context)  # stack_len + aux
         _wire_channel(trace, j, MEM_CHANNELS[NUM_GP_CHANNELS - 1],
                       is_read=False, context=st.context,
@@ -337,13 +422,22 @@ def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
         trace[JUMPS_COND_SUM_PINV, j] = \
             pow(cond_sum, gl.P - 2, gl.P) if cond_sum else 0
         # jumpdest-bit channel: unused in kernel mode, but its address and
-        # claimed flag value are still constrained (jumps.rs:97-120)
+        # claimed flag value are still constrained; taken USER-mode jumps
+        # actually read the bit (jumps.rs:97-120), so the jumpdest-analysis
+        # pass must have stored a 1 there
         ch = MEM_CHANNELS[NUM_GP_CHANNELS - 1]
         trace[ch.value[0], j] = 1
         trace[ch.is_read, j] = 1
         trace[ch.addr_context, j] = st.context
         trace[ch.addr_segment, j] = int(Segment.JumpdestBits)
         trace[ch.addr_virtual, j] = dst
+        if should and not st.is_kernel:
+            bit = st.memory.get(
+                (st.context, int(Segment.JumpdestBits), dst), 0)
+            if bit != 1:
+                raise ValueError(
+                    f"user-mode jump to {dst} without a jumpdest bit")
+            trace[ch.used, j] = 1
         del S[-2 if op == 0x57 else -1:]
         st.pc = dst if should else pc + 1
     elif op == 0xF6:                                 # GET_CONTEXT
@@ -371,6 +465,40 @@ def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
                       segment=seg, virt=virt, value=val)
         st.memory[(ctx, seg, virt)] = val
         del S[-4:]
+        st.pc = pc + 1
+    elif op == 0xF9:                                 # EXIT_KERNEL
+        # pops kexit_info = pc' + (is_kernel' << 32); the jump constraints
+        # read the popped limbs into the next row's (pc, privilege)
+        # (cpu.py _eval_jumps; reference generate_exit_kernel,
+        # operation.rs:553-580)
+        val = S[-1]
+        wire_stack_op(trace, j, op, S, context=st.context)
+        del S[-1]
+        new_pc = val & 0xFFFFFFFF
+        new_kernel = (val >> 32) & 0xFFFFFFFF
+        if new_kernel not in (0, 1):
+            raise ValueError(f"EXIT_KERNEL kexit_info has non-boolean "
+                             f"kernel flag {new_kernel}")
+        st.pc = new_pc
+        st.is_kernel = bool(new_kernel)
+        if j + 1 < trace.shape[1]:
+            trace[PROGRAM_COUNTER, j + 1] = new_pc
+            trace[IS_KERNEL_MODE, j + 1] = new_kernel
+    elif op == 0x5A:                                 # GAS
+        # the reference leaves Operation::Gas as todo!()
+        # (witness/transition.rs:212); here it pushes the remaining gas
+        remaining = max(st.gas_limit - st.gas_used, 0)
+        wire_stack_op(trace, j, op, S, push_value=remaining,
+                      context=st.context)
+        S.append(remaining)
+        st.pc = pc + 1
+    elif op == 0xF8:                                 # CONSUME_GAS (kernel)
+        # reference todo!() (witness/transition.rs:216); pops an amount and
+        # adds it to gas_used
+        amount = S[-1]
+        wire_stack_op(trace, j, op, S, context=st.context)
+        del S[-1]
+        st.gas_used += amount
         st.pc = pc + 1
     else:
         raise NotImplementedError(

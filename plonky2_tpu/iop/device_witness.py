@@ -78,8 +78,10 @@ class DeviceWitnessPlan:
                 vhi = vhi.at[w["out"]].set(out[1].reshape(-1))
             return (vlo, vhi), (vlo[pi_idx], vhi[pi_idx])
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def _gather_wires(vpair, wires_idx):
+            # vpair (2 x n_slots u32, ~0.4 GB at flagship scale) is donated:
+            # its HBM is released as the (num_wires, degree) gather lands
             return vpair[0][wires_idx], vpair[1][wires_idx]
 
         self._run_jit = _run
@@ -95,9 +97,10 @@ class DeviceWitnessPlan:
             self._vals_cache_id = id(d)
         return np.fromiter(d.values(), dtype=np.uint64, count=len(d))
 
-    def run(self, inputs) -> Tuple[tuple, tuple, List[int]]:
+    def run(self, inputs) -> Tuple[tuple, List[int]]:
         """inputs: PartialWitness -> (wires (num_wires, degree) GF pair,
-        values GF pair, public_input ints)."""
+        public_input ints).  The intermediate slot-value buffer is donated
+        to the wires gather (HBM freed before the commit starts)."""
         import jax.numpy as jnp
 
         from ..field import gf_jax as gf
@@ -113,9 +116,10 @@ class DeviceWitnessPlan:
             (jnp.asarray(lo), jnp.asarray(hi)), self._input_idx,
             self._pi_idx, self._waves)
         wires = self._gather_wires_jit(vpair, self._wires_idx)
+        del vpair
         pis = [int(x) for x in gf.to_u64((np.asarray(pi_pair[0]),
                                           np.asarray(pi_pair[1])))]
-        return wires, vpair, pis
+        return wires, pis
 
 
 class _PlanMismatch(Exception):

@@ -72,14 +72,11 @@ def powers_dev(base: int, n: int):
     return jax.lax.associative_scan(lambda a, c: gf.mul(a, c), xs)
 
 
-def _ntt_core(a_lo, a_hi, twiddles):
-    n = a_lo.shape[-1]
+def _ntt_stages(a_lo, a_hi, twiddles, n: int, start_stage: int):
+    """Butterfly stages start_stage..log2(n)-1 on bit-rev-permuted data."""
     bits = log2_strict(n)
-    perm = bitrev_perm(n)
-    a_lo = jnp.take(a_lo, perm, axis=-1)
-    a_hi = jnp.take(a_hi, perm, axis=-1)
     batch = a_lo.shape[:-1]
-    for s in range(bits):
+    for s in range(start_stage, bits):
         half = 1 << s
         length = half * 2
         shape = (*batch, n // length, length)
@@ -93,6 +90,38 @@ def _ntt_core(a_lo, a_hi, twiddles):
         a_lo = jnp.concatenate([s_[0], d_[0]], axis=-1).reshape(*batch, n)
         a_hi = jnp.concatenate([s_[1], d_[1]], axis=-1).reshape(*batch, n)
     return a_lo, a_hi
+
+
+def _ntt_core(a_lo, a_hi, twiddles):
+    n = a_lo.shape[-1]
+    perm = bitrev_perm(n)
+    a_lo = jnp.take(a_lo, perm, axis=-1)
+    a_hi = jnp.take(a_hi, perm, axis=-1)
+    return _ntt_stages(a_lo, a_hi, twiddles, n, 0)
+
+
+def _ntt_core_zero_tail(a_lo, a_hi, twiddles, rate_bits: int):
+    """Size-(q*2^r) NTT of [a, zeros] given only the q nonzero leading
+    coefficients (last axis).  Mirrors fft_classic's r-skip
+    (reference field/src/fft.rs:188-219): bit-rev permute the prefix,
+    broadcast each value 2^r times (the first r butterfly stages pair each
+    value with a known zero, so u+w*0 / u-w*0 just copy u), then run
+    stages r..log2(n).  Saves the zero materialization AND r of the
+    log2(n) stages."""
+    q = a_lo.shape[-1]
+    r = rate_bits
+    if r == 0:
+        return _ntt_core(a_lo, a_hi, twiddles)
+    n = q << r
+    perm = bitrev_perm_auto(q)
+    a_lo = jnp.take(a_lo, perm, axis=-1)
+    a_hi = jnp.take(a_hi, perm, axis=-1)
+    batch = a_lo.shape[:-1]
+    shape = (*batch, q, 1)
+    bshape = (*batch, q, 1 << r)
+    a_lo = jnp.broadcast_to(a_lo.reshape(shape), bshape).reshape(*batch, n)
+    a_hi = jnp.broadcast_to(a_hi.reshape(shape), bshape).reshape(*batch, n)
+    return _ntt_stages(a_lo, a_hi, twiddles, n, r)
 
 
 def ntt(a, inverse: bool = False):
@@ -132,18 +161,28 @@ def coset_intt(values, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR):
 
 def lde_coset_ntt(coeffs, rate_bits: int,
                   shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR):
-    """zero-pad to n*2^rate_bits, multiply by shift powers, forward NTT.
+    """Coset LDE: multiply the n coeffs by shift powers, then evaluate on
+    the size-n*2^rate_bits domain WITHOUT materializing the zero tail.
 
-    Mirrors the reference pipeline lde->mul_shift->fft
-    (cuda/plonky2_gpu_impl.cuh:261-313); the zero tail is materialized (XLA
-    pads cheaply) — the zero-tail butterfly skip is a later Pallas
-    optimization.
-    """
+    The reference pipeline is lde->mul_shift->fft with an explicit padded
+    copy (cuda/plonky2_gpu_impl.cuh:261-313) whose fft skips the first
+    rate_bits butterfly stages (fft.rs:188-219); here the skip falls out
+    of _ntt_core_zero_tail / the four-step column transforms directly on
+    the unpadded prefix."""
     n = coeffs[0].shape[-1]
     m = n << rate_bits
-    pad = [(0, 0)] * (coeffs[0].ndim - 1) + [(0, m - n)]
-    padded = (jnp.pad(coeffs[0], pad), jnp.pad(coeffs[1], pad))
-    return coset_ntt(padded, shift)
+    sp = powers_dev(shift, n) if n >= (1 << 12) else \
+        gf.from_u64(gl.powers(shift, n))
+    scaled = gf.mul(coeffs, sp)
+    if m >= (1 << 12):
+        from ..parallel.sharded_ntt import (batched_four_step_zero_tail_ntt,
+                                            four_step_zero_tail_ntt)
+        if scaled[0].ndim == 1:
+            return four_step_zero_tail_ntt(scaled, rate_bits)
+        if scaled[0].ndim == 2:
+            return batched_four_step_zero_tail_ntt(scaled, rate_bits)
+    return _ntt_core_zero_tail(scaled[0], scaled[1],
+                               twiddle_tables(m, False), rate_bits)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

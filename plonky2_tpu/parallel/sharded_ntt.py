@@ -115,3 +115,41 @@ def batched_four_step_ntt(coeffs, inverse: bool = False,
     fn = functools.partial(four_step_ntt, inverse=inverse,
                            shard_axis=shard_axis)
     return jax.vmap(lambda lo, hi: fn((lo, hi)))(coeffs[0], coeffs[1])
+
+
+def four_step_zero_tail_ntt(prefix, rate_bits: int):
+    """Size-(q*2^rate_bits) NTT of [prefix, zeros]: the four-step schedule
+    where the column transforms get only the q nonzero coefficients and
+    apply the fft_classic r-skip (ops/ntt.py _ntt_core_zero_tail; the
+    conceptual padded array's zero tail is exactly the bottom rows of the
+    (n1, n2) matrix, so each column is itself a zero-tail transform)."""
+    q = prefix[0].shape[-1]
+    r = rate_bits
+    if r == 0:
+        return four_step_ntt(prefix)
+    m = q << r
+    bits = log2_strict(m)
+    n1 = 1 << (bits // 2)
+    if n1 < (1 << r):
+        n1 = 1 << r
+    n2 = m // n1
+    # padded[j1*n2 + j2]: rows j1 >= n1/2^r are zero
+    x = (prefix[0].reshape(n1 >> r, n2), prefix[1].reshape(n1 >> r, n2))
+    # step 1: zero-tail size-n1 NTTs down the columns
+    lo = jnp.swapaxes(x[0], 0, 1)
+    hi = jnp.swapaxes(x[1], 0, 1)
+    out = base_ntt._ntt_core_zero_tail(lo, hi,
+                                       base_ntt.twiddle_tables(n1, False), r)
+    a = (jnp.swapaxes(out[0], 0, 1), jnp.swapaxes(out[1], 0, 1))
+    # step 2: twiddle, step 3: row NTTs, step 4: transpose (as four_step_ntt)
+    tw = _step2_twiddles_built(n1, n2, False) if m >= (1 << 12) else \
+        _step2_twiddles(n1, n2, False)
+    a = gf.mul(a, tw)
+    b = base_ntt._ntt_core(a[0], a[1], base_ntt.twiddle_tables(n2, False))
+    return b[0].T.reshape(m), b[1].T.reshape(m)
+
+
+def batched_four_step_zero_tail_ntt(prefix, rate_bits: int):
+    """(B, q) pair -> (B, q*2^rate_bits) pair via vmap over the batch."""
+    fn = functools.partial(four_step_zero_tail_ntt, rate_bits=rate_bits)
+    return jax.vmap(lambda lo, hi: fn((lo, hi)))(prefix[0], prefix[1])

@@ -57,11 +57,11 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
         from ..iop.device_witness import _PlanMismatch
         with timing.scope("device witness"):
             try:
-                wires_pair, _, public_inputs = plan.run(inputs)
+                wires_pair, public_inputs = plan.run(inputs)
             except _PlanMismatch:
                 from ..iop.device_witness import get_plan as _gp
                 plan = _gp(prover_data, common_data, inputs, rebuild=True)
-                wires_pair, _, public_inputs = plan.run(inputs)
+                wires_pair, public_inputs = plan.run(inputs)
             jax.block_until_ready(wires_pair)
         public_inputs_hash = pos.hash_no_pad(
             np.array(public_inputs, dtype=np.uint64))
@@ -127,6 +127,12 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
         zs_partial_products_commitment = PolynomialBatch.from_values(
             zs_partial_products, rate_bits, zk, cap_height,
             use_device=use_device, hasher=gc)
+    # the raw wires matrix is not read past this point (the quotient and
+    # openings read the COMMITMENTS' resident leaves/coeffs); dropping it
+    # returns ~0.5 GB of HBM at the flagship shape, where the proof runs
+    # within a few hundred MB of the 16 GB chip limit
+    del zs_partial_products
+    wires_pair = None
     challenger.observe_cap(zs_partial_products_commitment.merkle_tree.cap)
 
     alphas = challenger.get_n_challenges(num_challenges)

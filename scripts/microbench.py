@@ -123,3 +123,57 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def mds_variants():
+    """Compare the int32 16-bit-plane MDS against an int8 byte-plane MXU
+    candidate at sponge batch sizes."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plonky2_tpu.field import gf_jax as gf
+    from plonky2_tpu.hash import poseidon as pos
+    from plonky2_tpu.hash import poseidon_jax as pj
+
+    rng = np.random.default_rng(0)
+    B = 1 << 18
+    st = (jnp.asarray(rng.integers(0, 2**32, (12, B), dtype=np.uint32)),
+          jnp.asarray(rng.integers(0, 2**31, (12, B), dtype=np.uint32)))
+
+    m_i8 = pos.MDS_MATRIX.astype(np.uint8)
+
+    def mds_int8(state):
+        lo, hi = state
+        planes = jnp.stack([
+            (lo & 0xFF), ((lo >> 8) & 0xFF), ((lo >> 16) & 0xFF), (lo >> 24),
+            (hi & 0xFF), ((hi >> 8) & 0xFF), ((hi >> 16) & 0xFF), (hi >> 24),
+        ]).astype(jnp.uint8)                      # (8, 12, B)
+        t = jnp.matmul(m_i8[None], planes,
+                       preferred_element_type=jnp.int32).astype(jnp.uint32)
+        # recombine 8 byte-weighted partial sums (each < 2^17) into
+        # (s0, s1, s2) 32-bit limbs then epsilon-reduce
+        c = []
+        r = jnp.zeros_like(t[0])
+        for p in range(8):
+            s = t[p] + r
+            c.append(s & 0xFF)
+            r = s >> 8
+        s0 = c[0] | (c[1] << 8) | (c[2] << 16) | (c[3] << 24)
+        s1 = c[4] | (c[5] << 8) | (c[6] << 16) | (c[7] << 24)
+        s2 = r
+        zero = jnp.zeros_like(s2)
+        return gf.reduce128(s0, s1, s2, zero)
+
+    f32 = jax.jit(pj._mds)
+    f8 = jax.jit(mds_int8)
+    a = timed("mds_int32_2^18", f32, st, unit_elems=B)
+    b = timed("mds_int8_2^18", f8, st, unit_elems=B)
+    ok = bool(jnp.array_equal(a[0], b[0]) & jnp.array_equal(a[1], b[1]))
+    print(json.dumps({"name": "mds_int8_matches", "ok": ok}), flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("MDS_ONLY"):
+    mds_variants()
+    raise SystemExit(0)

@@ -37,7 +37,7 @@ def test_plan_witness_matches_host_engine(tree, pinned_random):
     plan = build_plan(data.prover_only, data.common, pw)
     assert plan is not None, "hash-tree circuit should be plan-eligible"
 
-    wires_pair, _, pis = plan.run(pw)
+    wires_pair, pis = plan.run(pw)
     dev_wires = gf.to_u64((np.asarray(wires_pair[0]),
                            np.asarray(wires_pair[1])))
 
@@ -104,7 +104,7 @@ def test_zk_circuit_plan_matches_host_engine(pinned_random):
     plan = build_plan(data.prover_only, data.common, pw)
     assert plan is not None
     assert plan._prefix_gens, "zk circuit should have RandomValueGenerators"
-    wires_pair, _, pis = plan.run(pw)
+    wires_pair, pis = plan.run(pw)
     dev_wires = gf.to_u64((np.asarray(wires_pair[0]),
                            np.asarray(wires_pair[1])))
     host = generate_partial_witness(pw, data.prover_only, data.common)
