@@ -202,8 +202,41 @@ def mul(a: GF, b: GF) -> GF:
     return reduce128(*mul_wide(a, b))
 
 
+def add_nc(a: GF, b: GF) -> GF:
+    """Add WITHOUT the final canonicalizing subtract: result < 2^64 but may
+    exceed p.  Safe wherever the consumer reduces (mul/square/reduce128
+    accept any 64-bit representative); do NOT feed comparisons or outputs
+    that must be canonical."""
+    lo, hi, over = add64(a, b)
+    lo2 = lo + (over * _EPS)
+    hi2 = hi + _carry(lo2, lo)
+    return lo2, hi2
+
+
+def square_wide(a: GF):
+    """64-bit squaring: 3 mul32s instead of mul_wide's 4 (the symmetric
+    cross term is shared and doubled)."""
+    ll_lo, ll_hi = mul32(a[0], a[0])
+    lh_lo, lh_hi = mul32(a[0], a[1])
+    hh_lo, hh_hi = mul32(a[1], a[1])
+    # double the cross term (lh) as a 65-bit quantity
+    x_lo = lh_lo << 1
+    x_hi = (lh_hi << 1) | (lh_lo >> 31)
+    x_ov = lh_hi >> 31                      # bit 64 of 2*cross
+    r0 = ll_lo
+    s = ll_hi + x_lo
+    c = _carry(s, ll_hi)
+    r1 = s
+    s2 = x_hi + hh_lo
+    c2 = _carry(s2, x_hi)
+    r2 = s2 + c
+    c2 += _carry(r2, s2)
+    r3 = hh_hi + c2 + x_ov
+    return r0, r1, r2, r3
+
+
 def square(a: GF) -> GF:
-    return mul(a, a)
+    return reduce128(*square_wide(a))
 
 
 def mul_const(a: GF, c: int) -> GF:

@@ -97,8 +97,18 @@ def _partial_round(carry, rc):
 def poseidon_t(state):
     """Permutation on transposed state: (lo, hi) pair of shape (12, B).
 
-    Rounds run under lax.scan (4 full / 22 partial / 4 full) so the traced
-    graph holds one round body each instead of 30."""
+    Delegates to the fast-partial-round schedule
+    (poseidon_wires_jax.poseidon_fast_t — ~25% fewer VPU ops than the
+    naive 30-round loop, bit-identical output)."""
+    from .poseidon_wires_jax import poseidon_fast_t
+
+    state = (jnp.asarray(state[0]), jnp.asarray(state[1]))
+    return poseidon_fast_t(state)
+
+
+def poseidon_t_naive(state):
+    """The naive 30-round schedule (oracle for poseidon_t; also the shape
+    the reference's non-fast path computes, poseidon.rs:586-618)."""
     import jax
 
     rc_lo, rc_hi = _round_constant_pairs()

@@ -60,9 +60,9 @@ def _tables():
 
 
 def _sbox(x):
-    x2 = gf.mul(x, x)
+    x2 = gf.square(x)
     x3 = gf.mul(x2, x)
-    return gf.mul(x3, gf.mul(x2, x2))
+    return gf.mul(x3, gf.square(x2))
 
 
 def sum_axis0(p):
@@ -126,6 +126,28 @@ def _partial_block(state, prc, w_hats, vs, c0d0):
     out = (jnp.concatenate([d[0][None, :], rest[0]], axis=0),
            jnp.concatenate([d[1][None, :], rest[1]], axis=0))
     return out, ys
+
+
+def poseidon_fast_t(state):
+    """Final-state-only fast-schedule permutation on a transposed (12, B)
+    GF pair — the sponge-path replacement for the naive 30-round
+    `poseidon_jax.poseidon_t` (~25% fewer VPU ops: fast partial rounds,
+    squaring sboxes, non-canonical round-constant adds).  Bit-identical
+    output (every representative feeds a reducing mul; the final MDS
+    emits canonical values)."""
+    full0_rc, full1_rc, first, prc, w_hats, vs, init_rows, c0d0 = [
+        (jnp.asarray(t[0]), jnp.asarray(t[1])) if isinstance(t, tuple) else t
+        for t in _tables()]
+
+    def body_full(st, rc):
+        return pj._mds(_sbox(gf.add_nc(st, rc))), None
+
+    state, _ = jax.lax.scan(body_full, state, full0_rc)
+    state = gf.add_nc(state, first)
+    state = _init_matrix(state, init_rows)
+    state, _ = _partial_block(state, prc, w_hats, vs, c0d0)
+    state, _ = jax.lax.scan(body_full, state, full1_rc)
+    return state
 
 
 def poseidon_wire_batch(dep_pair):

@@ -37,8 +37,8 @@ from .target import target_index
 
 
 class DeviceWitnessPlan:
-    def __init__(self, waves, n_slots, input_keys, input_idx_np, wires_idx_np,
-                 pi_idx_np, degree, num_wires, prefix_gens=()):
+    def __init__(self, waves, n_slots, input_keys, input_idx_np, fix_pos_np,
+                 fix_src_np, pi_idx_np, degree, num_wires, prefix_gens=()):
         import jax
         import jax.numpy as jnp
 
@@ -52,7 +52,11 @@ class DeviceWitnessPlan:
         self._vals_cache_id: Optional[int] = None
 
         self._input_idx = jnp.asarray(input_idx_np)
-        self._wires_idx = jnp.asarray(wires_idx_np)   # (num_wires, degree)
+        # copy-class fixups (see _gather_wires): ~3% of wires at hash-tree
+        # scale, vs a full 61M-element scalar gather (~1.8 s on a v5e —
+        # TPU gathers run ~1 elem/30 cycles)
+        self._fix_pos = jnp.asarray(fix_pos_np)
+        self._fix_src = jnp.asarray(fix_src_np)
         self._pi_idx = jnp.asarray(pi_idx_np)
         self._classes = [w[0] for w in waves]
         self._waves = []
@@ -78,11 +82,21 @@ class DeviceWitnessPlan:
                 vhi = vhi.at[w["out"]].set(out[1].reshape(-1))
             return (vlo, vhi), (vlo[pi_idx], vhi[pi_idx])
 
+        W = degree * num_wires
+
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def _gather_wires(vpair, wires_idx):
-            # vpair (2 x n_slots u32, ~0.4 GB at flagship scale) is donated:
-            # its HBM is released as the (num_wires, degree) gather lands
-            return vpair[0][wires_idx], vpair[1][wires_idx]
+        def _gather_wires(vpair, fix_pos, fix_src):
+            # The union-find parent array is the identity on class roots and
+            # singletons, and slot order IS wire order (row-major
+            # row*num_wires + col, then virtual targets): the wires matrix
+            # is a free prefix slice of the slot values, corrected only at
+            # the non-root members of copy classes.  vpair (2 x n_slots u32,
+            # ~0.4 GB at flagship scale) is donated.
+            out = []
+            for v in vpair:
+                w = v[:W].at[fix_pos].set(v[fix_src])
+                out.append(w.reshape(degree, num_wires).T)
+            return tuple(out)
 
         self._run_jit = _run
         self._gather_wires_jit = _gather_wires
@@ -115,7 +129,7 @@ class DeviceWitnessPlan:
         vpair, pi_pair = self._run_jit(
             (jnp.asarray(lo), jnp.asarray(hi)), self._input_idx,
             self._pi_idx, self._waves)
-        wires = self._gather_wires_jit(vpair, self._wires_idx)
+        wires = self._gather_wires_jit(vpair, self._fix_pos, self._fix_src)
         del vpair
         pis = [int(x) for x in gf.to_u64((np.asarray(pi_pair[0]),
                                           np.asarray(pi_pair[1])))]
@@ -184,7 +198,10 @@ def build_plan(prover_data, common_data, inputs) -> Optional[DeviceWitnessPlan]:
     num_wires = common_data.config.num_wires
     degree = common_data.degree()
     rep_arr = np.asarray(prover_data.representative_map, dtype=np.int64)
+    # cover every rep index AND the full wire prefix (the wires matrix is
+    # sliced from slot values [:degree*num_wires] in _gather_wires)
     n_slots = int(rep_arr.max()) + 1 if rep_arr.size else 1
+    n_slots = max(n_slots, degree * num_wires)
     # rep indices must fit the device int32 gather/scatter indices
     if n_slots >= (1 << 31):
         return None
@@ -243,16 +260,20 @@ def build_plan(prover_data, common_data, inputs) -> Optional[DeviceWitnessPlan]:
             meta_np = meta_fn(gens)
         waves.append((group.cls, dep_np, out_np, meta_np))
 
-    wires_idx_np = rep_arr[: degree * num_wires].reshape(
-        degree, num_wires).T.astype(np.int32).copy()
+    # non-root wire slots: the only positions where the wires matrix
+    # differs from the slot-value prefix (copy classes)
+    W = degree * num_wires
+    wire_reps = rep_arr[:W]
+    fix_pos_np = np.nonzero(wire_reps != np.arange(W))[0].astype(np.int32)
+    fix_src_np = wire_reps[fix_pos_np].astype(np.int32)
     pi_idx_np = np.fromiter(
         (rep_arr[target_index(t, num_wires, degree)]
          for t in prover_data.public_inputs),
         dtype=np.int32, count=len(prover_data.public_inputs))
 
     return DeviceWitnessPlan(waves, n_slots, input_keys, input_idx_np,
-                             wires_idx_np, pi_idx_np, degree, num_wires,
-                             prefix_gens=prefix_gens)
+                             fix_pos_np, fix_src_np, pi_idx_np, degree,
+                             num_wires, prefix_gens=prefix_gens)
 
 
 def get_plan(prover_data, common_data, inputs,

@@ -121,10 +121,6 @@ def main():
     timed("transpose_2^18x234", tr_j, wm, unit_elems=n * 234)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def mds_variants():
     """Compare the int32 16-bit-plane MDS against an int8 byte-plane MXU
     candidate at sponge batch sizes."""
@@ -174,6 +170,8 @@ def mds_variants():
     print(json.dumps({"name": "mds_int8_matches", "ok": ok}), flush=True)
 
 
-if __name__ == "__main__" and os.environ.get("MDS_ONLY"):
-    mds_variants()
-    raise SystemExit(0)
+if __name__ == "__main__":
+    if os.environ.get("MDS_ONLY"):
+        mds_variants()
+    else:
+        main()
