@@ -15,13 +15,18 @@ import jax.numpy as jnp
 
 from . import goldilocks as gl
 
+import numpy as _np
+
 U32 = jnp.uint32
-_M16 = jnp.uint32(0xFFFF)
-_EPS = jnp.uint32(0xFFFFFFFF)  # EPSILON = 2^32 - 1 (also p_hi)
-_P_LO = jnp.uint32(1)
-_P_HI = jnp.uint32(0xFFFFFFFF)
-_ZERO = jnp.uint32(0)
-_ONE = jnp.uint32(1)
+# NUMPY scalars: they promote against uint32 arrays identically, and
+# (unlike module-level jnp scalars) are embedded as literals at trace time
+# rather than captured device constants — Pallas kernels reject the latter
+_M16 = _np.uint32(0xFFFF)
+_EPS = _np.uint32(0xFFFFFFFF)  # EPSILON = 2^32 - 1 (also p_hi)
+_P_LO = _np.uint32(1)
+_P_HI = _np.uint32(0xFFFFFFFF)
+_ZERO = _np.uint32(0)
+_ONE = _np.uint32(1)
 
 # A field element batch is the tuple (lo, hi): two equal-shaped uint32 arrays.
 GF = tuple

@@ -137,14 +137,31 @@ def hash_leaves_cols(leaves):
     """Column-major sponge: leaves (L, B) pair -> digests (4, B) pair.
 
     Overwrite-mode absorb of rate-8 row chunks (reference
-    cuda/plonky2_gpu_impl.cuh:350-409 / hashing.rs:81)."""
+    cuda/plonky2_gpu_impl.cuh:350-409 / hashing.rs:81).  The full-rate
+    chunks absorb under ONE lax.scan (a 234-column leaf is 30 absorb
+    blocks — unrolled, the commit executables were ~50 MB and took
+    minutes to cold-compile through the tunnel)."""
+    import jax
+
     lo, hi = leaves
     L, B = lo.shape
     state = gf.zeros((WIDTH, B))
-    for start in range(0, L, SPONGE_RATE):
-        w = min(SPONGE_RATE, L - start)
-        state = (jnp.concatenate([lo[start:start + w], state[0][w:]], axis=0),
-                 jnp.concatenate([hi[start:start + w], state[1][w:]], axis=0))
+    full = L // SPONGE_RATE
+    if full:
+        r = full * SPONGE_RATE
+        chunks = (lo[:r].reshape(full, SPONGE_RATE, B),
+                  hi[:r].reshape(full, SPONGE_RATE, B))
+
+        def absorb(st, chunk):
+            st = (jnp.concatenate([chunk[0], st[0][SPONGE_RATE:]], axis=0),
+                  jnp.concatenate([chunk[1], st[1][SPONGE_RATE:]], axis=0))
+            return poseidon_t(st), None
+
+        state, _ = jax.lax.scan(absorb, state, chunks)
+    w = L - full * SPONGE_RATE
+    if w:
+        state = (jnp.concatenate([lo[L - w:], state[0][w:]], axis=0),
+                 jnp.concatenate([hi[L - w:], state[1][w:]], axis=0))
         state = poseidon_t(state)
     return state[0][:4], state[1][:4]
 

