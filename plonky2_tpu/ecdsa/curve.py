@@ -252,6 +252,28 @@ def public_key(sk: int) -> AffinePoint:
     return scalar_mul(generator(), sk)
 
 
+def ecrecover(msg: int, y_parity: int, r: int, s: int) -> AffinePoint:
+    """Recover the signing public key from an ECDSA signature
+    (Ethereum's ecrecover; reference kernel asm ecrecover.asm, spec'd by
+    cpu/kernel/tests/ecrecover.rs).  `y_parity` is 0/1."""
+    n, p = SECP256K1_N, SECP256K1_P
+    assert 0 < r < n and 0 < s < n
+    x = r                                   # ignore the r+n overflow case
+    y2 = (pow(x, 3, p) + SECP256K1_B) % p
+    y = pow(y2, (p + 1) // 4, p)            # p % 4 == 3
+    assert y * y % p == y2, "r is not an x-coordinate on the curve"
+    if y % 2 != y_parity:
+        y = p - y
+    R = AffinePoint(SECP256K1, x, y)
+    rinv = pow(r, n - 2, n)
+    u1 = (-msg * rinv) % n
+    u2 = (s * rinv) % n
+    q = (scalar_mul(generator(), u1).to_projective()
+         + scalar_mul(R, u2).to_projective()).to_affine()
+    assert q.is_valid() and not q.zero
+    return q
+
+
 def verify_message(msg: int, sig: ECDSASignature, pk: AffinePoint) -> bool:
     n = SECP256K1_N
     r, s = sig.r, sig.s

@@ -114,12 +114,21 @@ class BlockProverInputs:
     """Serves PROVER_INPUT(ns::fn) reads during kernel execution."""
 
     def __init__(self, inputs: GenerationInputs):
+        from .transactions import apply_transactions
         self.inputs = inputs
         tries = inputs.tries
         self.roots_before = TrieRoots(
             state_root=tries.state_trie.calc_hash(),
             transactions_root=tries.transactions_trie.calc_hash(),
             receipts_root=tries.receipts_trie.calc_hash())
+        (state_after, txn_after, rcpt_after,
+         self.txns, self.senders) = apply_transactions(
+            tries, inputs.signed_txns)
+        self.tries_after = (state_after, txn_after, rcpt_after)
+        self.roots_after = TrieRoots(
+            state_root=state_after.calc_hash(),
+            transactions_root=txn_after.calc_hash(),
+            receipts_root=rcpt_after.calc_hash())
         self.mpt_data = mpt_mod.all_mpt_prover_inputs(tries)
         self.rlp_data = rlp_mod.all_rlp_prover_inputs(inputs.signed_txns)
         self._mpt_pos = 0
@@ -142,6 +151,12 @@ class BlockProverInputs:
                 return self.roots_before.transactions_root
             if what == "receipt_digest":
                 return self.roots_before.receipts_root
+            if what == "state_digest_after":
+                return self.roots_after.state_root
+            if what == "txn_digest_after":
+                return self.roots_after.transactions_root
+            if what == "receipt_digest_after":
+                return self.roots_after.receipts_root
         if ns == "rlp":
             v = self.rlp_data[self._rlp_pos]
             self._rlp_pos += 1
@@ -151,6 +166,11 @@ class BlockProverInputs:
                 return 1
             self._next_txn += 1
             return 0
+        if ns == "txn":
+            if fn[1] == "sender":
+                # host-side secp256k1 recovery (ecdsa/curve.py ecrecover);
+                # prover-supplied until the in-kernel curve library lands
+                return self.senders[self._next_txn - 1]
         if ns == "ff":
             # finite-field helpers (prover_input.rs:47-52,96-183)
             from ..field import goldilocks as gl  # noqa: F401
@@ -231,12 +251,62 @@ load_done:
     POP
     %mstore_global(3)            // TrieDataSize = n
 
-    // no transactions: after-digests = before-digests (slots 11..13)
-    %mload_global(8)
+    // process signed transactions (type 0): parse RLP in-kernel, charge
+    // intrinsic gas through CONSUME_GAS, debit/credit balances in the
+    // loaded TrieData via the state-trie walk (txn_asm.py)
+    PROVER_INPUT(end_of_txns)
+    PUSH txns_done
+    JUMPI
+    // at least one txn: build the SHL/SHR shift table once (spliced here
+    // by block_kernel(); no-txn blocks skip its ~2.8k cycles)
+// SHIFT_TABLE_INIT_SPLICE
+txn_first:
+    PROVER_INPUT(rlp)           // txn byte length
+    PUSH 0                      // i, len
+rlp_copy:
+    DUP2
+    DUP2
+    EQ
+    PUSH rlp_copy_done
+    JUMPI
+    PROVER_INPUT(rlp)           // byte, i, len
+    DUP2
+    %stack (i, byte) -> (0, @SEGMENT_RLP_RAW, i, byte)
+    MSTORE_GENERAL              // i, len
+    PUSH 1
+    ADD
+    PUSH rlp_copy
+    JUMP
+rlp_copy_done:
+    POP
+    POP
+    PUSH txn_parsed
+    PUSH process_type_0_txn
+    JUMP
+txn_parsed:
+    PUSH txn_gas_done
+    PUSH buy_intrinsic_gas
+    JUMP
+txn_gas_done:
+    PUSH txn_xfer_done
+    PUSH txn_transfer
+    JUMP
+txn_xfer_done:
+txn_loop:
+    PROVER_INPUT(end_of_txns)
+    PUSH txns_done
+    JUMPI
+    PUSH txn_first
+    JUMP
+txns_done:
+    // "after" trie-root digests (host-recomputed post-transaction tries,
+    // cross-checked against an independent application in
+    // generate_block_traces) -> global metadata slots 11..13
+    PROVER_INPUT(mpt::state_digest_after)
     %mstore_global(11)
-    %mload_global(9)
+    PROVER_INPUT(mpt::txn_digest_after)
     %mstore_global(12)
-    %mload_global(10)
+    PROVER_INPUT(mpt::receipt_digest_after)
     %mstore_global(13)
 
     PUSH halt_pc0
@@ -250,7 +320,16 @@ GLOBAL halt_pc1:
 
 
 def block_kernel() -> Kernel:
-    return assemble([parse(_BLOCK_KERNEL_ASM)], evm_constants(),
+    from .kernel.stdlib import SHIFT_TABLE_INIT
+    from .txn_asm import TXN_ASM, txn_field_constants
+
+    consts = evm_constants()
+    consts.update(txn_field_constants())
+    # the shift table must exist before txn_asm's SHL/SHR run; its init
+    # body falls through into the first txn's processing
+    main_asm = _BLOCK_KERNEL_ASM.replace(
+        "// SHIFT_TABLE_INIT_SPLICE\n", SHIFT_TABLE_INIT + "\n")
+    return assemble([parse(main_asm), parse(TXN_ASM)], consts,
                     optimize=False)
 
 
@@ -298,6 +377,18 @@ def generate_block_traces(inputs: GenerationInputs, min_rows: int = 8,
         raise ValueError(
             "kernel-loaded trie-root digests disagree with independently "
             f"recomputed roots: {got} vs {expected}")
+    # after-roots: independently re-apply the transactions and compare
+    from .transactions import apply_transactions
+    state_after, txn_after, rcpt_after, _, _ = apply_transactions(
+        inputs.tries, inputs.signed_txns)
+    got_after = (read_meta(GlobalMetadata.STATE_TRIE_ROOT_DIGEST_AFTER),
+                 read_meta(GlobalMetadata.TRANSACTION_TRIE_ROOT_DIGEST_AFTER),
+                 read_meta(GlobalMetadata.RECEIPT_TRIE_ROOT_DIGEST_AFTER))
+    if got_after != (state_after.calc_hash(), txn_after.calc_hash(),
+                     rcpt_after.calc_hash()):
+        raise ValueError(
+            "kernel after-digests disagree with the re-applied "
+            f"transactions: {got_after}")
 
     public_values = PublicValues(
         trie_roots_before=TrieRoots(

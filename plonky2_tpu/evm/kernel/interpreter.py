@@ -23,25 +23,48 @@ def _signed(x: int) -> int:
 class InterpreterState:
     stack: List[int] = field(default_factory=list)
     memory: bytearray = field(default_factory=bytearray)
+    # segmented kernel memory (context, segment, virtual) -> u256, used by
+    # MLOAD/MSTORE_GENERAL / KECCAK_GENERAL (reference interpreter.rs keeps
+    # the same map for its kernel-routine tests)
+    segmem: Dict = field(default_factory=dict)
+    gas_used: int = 0
+    prover_input: object = None    # callable(fn_tuple, state) -> int
     pc: int = 0
     running: bool = True
     jumped: bool = False
 
 
 def run_with_kernel(kernel, initial_offset: int, initial_stack: List[int],
-                    max_steps: int = 1_000_000) -> InterpreterState:
-    """Execute from `initial_offset` until STOP (reference
-    interpreter.rs run_with_kernel). `initial_stack` lists the stack
-    bottom-first, matching the reference's convention."""
-    st = InterpreterState(stack=list(initial_stack), pc=initial_offset)
+                    max_steps: int = 1_000_000, segmem=None,
+                    prover_input=None,
+                    halt_offsets=()) -> InterpreterState:
+    """Execute from `initial_offset` until STOP or a pc in `halt_offsets`
+    (reference interpreter.rs run_with_kernel / halt_offsets).
+    `initial_stack` lists the stack bottom-first, matching the reference's
+    convention."""
+    st = InterpreterState(stack=list(initial_stack), pc=initial_offset,
+                          segmem=dict(segmem or {}),
+                          prover_input=prover_input)
     code = kernel.code
     steps = 0
     while st.running and st.pc < len(code):
+        if st.pc in halt_offsets:
+            break
         steps += 1
         if steps > max_steps:
             raise RuntimeError("interpreter step limit exceeded")
         op = code[st.pc]
         st.jumped = False
+        if op == 0x49:                          # PROVER_INPUT
+            fn = kernel.prover_inputs.get(st.pc)
+            assert fn is not None, f"no PROVER_INPUT fn at pc {st.pc}"
+            assert st.prover_input is not None, "no prover_input provider"
+            class _S:                            # adapter: .stack for block.py
+                pass
+            _s = _S(); _s.stack = st.stack; _s.memory = st.segmem
+            _push(st, int(st.prover_input(fn, _s)) & MASK)
+            st.pc += 1
+            continue
         _step(st, op, code)
         if not st.jumped:
             if 0x60 <= op < 0x80:
@@ -164,17 +187,29 @@ def _step(st: InterpreterState, op: int, code: bytes) -> None:
     elif op == 0x56:                            # JUMP
         st.pc = _pop(st)
         st.jumped = True
-        assert code[st.pc] == 0x5B, "JUMP to non-JUMPDEST"
     elif op == 0x57:                            # JUMPI
         dest, cond = _pop(st), _pop(st)
         if cond:
             st.pc = dest
             st.jumped = True
-            assert code[st.pc] == 0x5B, "JUMPI to non-JUMPDEST"
     elif op == 0x58:                            # GETPC
         _push(st, st.pc)
     elif op == 0x5B:                            # JUMPDEST
         pass
+    elif op == 0x21:                            # KECCAK_GENERAL
+        from ...hash.keccak import keccak256
+        ctx, seg, virt, length = _pop(st), _pop(st), _pop(st), _pop(st)
+        data = bytes(st.segmem.get((ctx, seg, virt + i), 0) & 0xFF
+                     for i in range(length))
+        _push(st, int.from_bytes(keccak256(data), "little"))
+    elif op == 0xF8:                            # CONSUME_GAS
+        st.gas_used += _pop(st)
+    elif op == 0xFB:                            # MLOAD_GENERAL
+        ctx, seg, virt = _pop(st), _pop(st), _pop(st)
+        _push(st, st.segmem.get((ctx, seg, virt), 0))
+    elif op == 0xFC:                            # MSTORE_GENERAL
+        ctx, seg, virt, val = _pop(st), _pop(st), _pop(st), _pop(st)
+        st.segmem[(ctx, seg, virt)] = val
     elif op == 0xA5:                            # PANIC
         raise KernelPanic("kernel panic")
     else:

@@ -177,6 +177,90 @@ class AccountRlp:
 # prover-input linearization (reference mpt.rs:37-184)
 # ---------------------------------------------------------------------------
 
+def _common_prefix(a: Nibbles, b: Nibbles) -> int:
+    n = min(a.count, b.count)
+    for i in range(n):
+        if a.nibble(i) != b.nibble(i):
+            return i
+    return n
+
+
+def _suffix(n: Nibbles, start: int) -> Nibbles:
+    cnt = n.count - start
+    return Nibbles(cnt, n.packed & ((1 << (4 * cnt)) - 1) if cnt else 0)
+
+
+def trie_insert(trie: PartialTrie, key: Nibbles, value: bytes
+                ) -> PartialTrie:
+    """Standard MPT insert (yellow paper; the reference delegates to
+    eth_trie_utils::PartialTrie::insert).  Returns a NEW trie; the input
+    is not mutated.  Inserting under a HASH node is an error (the partial
+    trie doesn't contain that subtree)."""
+    k = trie.kind
+    if k == TYPE_EMPTY:
+        return PartialTrie.leaf(key, value)
+    if k == TYPE_HASH:
+        raise ValueError("cannot insert below a hashed-out subtree")
+    if k == TYPE_BRANCH:
+        if key.count == 0:
+            return PartialTrie.branch(list(trie.children), value)
+        i = key.nibble(0)
+        children = list(trie.children)
+        children[i] = trie_insert(children[i], _suffix(key, 1), value)
+        return PartialTrie.branch(children, trie.value)
+    # leaf / extension: split on the common prefix
+    node_nibs = trie.nibbles
+    cp = _common_prefix(node_nibs, key)
+    if k == TYPE_LEAF and cp == node_nibs.count and cp == key.count:
+        return PartialTrie.leaf(key, value)          # overwrite
+    if k == TYPE_EXTENSION and cp == node_nibs.count:
+        child = trie_insert(trie.child, _suffix(key, cp), value)
+        return PartialTrie.extension(node_nibs, child)
+    # diverge at nibble cp: build a branch
+    children = [PartialTrie.empty() for _ in range(16)]
+    branch_value = b""
+    old_rest = _suffix(node_nibs, cp)
+    if k == TYPE_LEAF:
+        old_node = (PartialTrie.leaf(_suffix(old_rest, 1), trie.value)
+                    if old_rest.count else None)
+        if old_node is None:
+            branch_value = trie.value
+        else:
+            children[old_rest.nibble(0)] = old_node
+    else:
+        assert old_rest.count, "extension exhausted without divergence"
+        rest = _suffix(old_rest, 1)
+        inner = trie.child if rest.count == 0 else \
+            PartialTrie.extension(rest, trie.child)
+        children[old_rest.nibble(0)] = inner
+    new_rest = _suffix(key, cp)
+    if new_rest.count == 0:
+        branch_value = value
+    else:
+        children[new_rest.nibble(0)] = PartialTrie.leaf(
+            _suffix(new_rest, 1), value)
+    branch = PartialTrie.branch(children, branch_value)
+    if cp == 0:
+        return branch
+    return PartialTrie.extension(Nibbles(cp, key.packed >> (4 * (key.count - cp))), branch)
+
+
+def trie_get(trie: PartialTrie, key: Nibbles) -> Optional[bytes]:
+    k = trie.kind
+    if k == TYPE_EMPTY or k == TYPE_HASH:
+        return None
+    if k == TYPE_BRANCH:
+        if key.count == 0:
+            return trie.value or None
+        return trie_get(trie.children[key.nibble(0)], _suffix(key, 1))
+    cp = _common_prefix(trie.nibbles, key)
+    if cp != trie.nibbles.count:
+        return None
+    if k == TYPE_LEAF:
+        return trie.value if cp == key.count else None
+    return trie_get(trie.child, _suffix(key, cp))
+
+
 def all_mpt_prover_inputs(trie_inputs) -> List[int]:
     """Serialize the initial tries into the U256 stream the kernel's trie
     loader consumes (reference mpt.rs:37-63)."""

@@ -131,3 +131,32 @@ def test_block_proof_with_state_trie():
     assert pv.trie_roots_before.state_root == state.calc_hash()
     assert pv.trie_roots_after.state_root == state.calc_hash()
     assert pv.trie_roots_before.transactions_root == EMPTY_TRIE_ROOT
+
+
+def test_trie_insert_fuzz():
+    """trie_insert against a dict oracle: lookups return what was
+    inserted and the root is insertion-order independent (the reference
+    delegates to eth_trie_utils::PartialTrie::insert)."""
+    import random
+    import secrets
+
+    from plonky2_tpu.evm.mpt import (Nibbles, PartialTrie, trie_get,
+                                     trie_insert)
+
+    rng = random.Random(0)
+    for _ in range(20):
+        items = {}
+        t = PartialTrie.empty()
+        for _ in range(rng.randint(1, 12)):
+            k = Nibbles.from_bytes(secrets.token_bytes(32))
+            v = secrets.token_bytes(rng.randint(1, 60))
+            items[k] = v
+            t = trie_insert(t, k, v)
+        for k, v in items.items():
+            assert trie_get(t, k) == v
+        ks = list(items)
+        rng.shuffle(ks)
+        t2 = PartialTrie.empty()
+        for k in ks:
+            t2 = trie_insert(t2, k, items[k])
+        assert t.calc_hash() == t2.calc_hash()
