@@ -209,11 +209,13 @@ class DeviceQuotient:
         n_in = prog.n_inputs
         assert n_in == n_pre + n_wires + n_zspp + nch + 3
 
-        use_pallas = jax.default_backend() == "tpu"
+        # VMEM-resident register file (~2x the XLA scan interpreter,
+        # measured 1.5 s vs 3.0 s full-coset at the flagship shape);
+        # tiles need full 128-lane rows, so tiny shapes keep the XLA path
+        use_pallas = jax.default_backend() == "tpu" and self.chunk >= 128
         if use_pallas:
-            # VMEM-resident register file (~2x the XLA scan interpreter,
-            # measured 1.5 s vs 3.0 s full-coset at the flagship shape)
-            run_pallas = prog.pallas_chunk_runner(tile=512)
+            run_pallas = prog.pallas_chunk_runner(
+                tile=min(512, self.chunk))
         else:
             run_chunk = prog.jax_chunk_runner()
 
