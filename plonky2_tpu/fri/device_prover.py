@@ -292,7 +292,8 @@ def device_fri_committed_trees(coeffs, values_br, challenger: Challenger,
         shift = next_shift
         n //= arity
 
-    coeffs_host = gf.to_u64((np.asarray(coeffs[0]), np.asarray(coeffs[1])))
+    from ..runtime import meshctx
+    coeffs_host = gf.to_u64(meshctx.host_get((coeffs[0], coeffs[1])))
     final_len = n >> fri_params.config.rate_bits
     final_coeffs = coeffs_host.T[:final_len]              # (final_len, 2)
     assert np.all(coeffs_host[:, final_len:] == 0), \
@@ -537,7 +538,8 @@ def _device_fri_proof_fused(initial_trees, coeffs, values_br,
                        n_outbuf, init_meta, final_len)
     caps_d, final_d, wit_d, xidx_d, init_d, layer_d = fn(
         state12, inbuf, outbuf, coeffs, values_br, init_leaves, init_levels)
-    out = jax.device_get((caps_d, final_d, wit_d, xidx_d, init_d, layer_d))
+    from ..runtime import meshctx
+    out = meshctx.host_get((caps_d, final_d, wit_d, xidx_d, init_d, layer_d))
     caps_h, final_h, wit_h, xidx_h, init_h, layer_h = out
 
     caps = [mk.MerkleCap(gf.to_u64((np.asarray(c[0]),

@@ -71,20 +71,20 @@ class PolynomialBatch:
     def polynomials(self) -> np.ndarray:
         if self._polynomials is None:
             from ..field import gf_jax as gf
-            self._polynomials = gf.to_u64(
-                (np.asarray(self._coeffs_dev[0]),
-                 np.asarray(self._coeffs_dev[1])))
+            from ..runtime import meshctx
+            self._polynomials = gf.to_u64(meshctx.host_get(
+                (self._coeffs_dev[0], self._coeffs_dev[1])))
         return self._polynomials
 
     @property
     def leaves(self) -> np.ndarray:
         if self._leaves_host is None:
             from ..field import gf_jax as gf
+            from ..runtime import meshctx
             # device layout is column-major (B, lde); host contract is
             # row-major (lde, B)
-            self._leaves_host = gf.to_u64(
-                (np.asarray(self._leaves_dev[0]),
-                 np.asarray(self._leaves_dev[1]))).T.copy()
+            self._leaves_host = gf.to_u64(meshctx.host_get(
+                (self._leaves_dev[0], self._leaves_dev[1]))).T.copy()
         return self._leaves_host
 
     def device_leaves(self):

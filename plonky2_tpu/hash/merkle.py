@@ -123,14 +123,13 @@ class DeviceMerkleTree:
     MerkleTree so the FRI query phase is oblivious to residency."""
 
     def __init__(self, leaves_dev, levels_dev, cap_height: int):
-        import numpy as _np
-
         from ..field import gf_jax as gf
+        from ..runtime import meshctx
         self.leaves_dev = leaves_dev        # (L, N) GF pair (column-major)
         self.levels_dev = levels_dev        # list of (4, Nk) GF pairs
         self.cap_height = cap_height
-        cap = gf.to_u64((_np.asarray(levels_dev[-1][0]),
-                         _np.asarray(levels_dev[-1][1])))
+        cap = gf.to_u64(meshctx.host_get((levels_dev[-1][0],
+                                          levels_dev[-1][1])))
         self.cap = MerkleCap(cap.T.copy())  # host contract: (2^h, 4)
         self._rows: dict = {}
         self._paths: dict = {}
@@ -145,9 +144,8 @@ class DeviceMerkleTree:
     def prefetch(self, indices) -> None:
         """Fetch leaf rows + full sibling paths for many indices in one
         device call + one host transfer."""
-        import jax
-
         from ..field import gf_jax as gf
+        from ..runtime import meshctx
         indices = [int(i) for i in indices]
         todo = [i for i in indices if i not in self._rows]
         if not todo:
@@ -155,9 +153,9 @@ class DeviceMerkleTree:
         import jax.numpy as jnp
         idx = jnp.asarray(np.array(todo, dtype=np.int32))
         fetch = _merkle_fetch_fn(self.num_layers())
-        out = jax.device_get(fetch(tuple(self.leaves_dev),
-                                   tuple(tuple(l) for l in self.levels_dev),
-                                   idx))
+        out = meshctx.host_get(fetch(
+            tuple(self.leaves_dev),
+            tuple(tuple(l) for l in self.levels_dev), idx))
         rows = gf.to_u64((out[0], out[1]))            # (Q, L)
         sibs = gf.to_u64((out[2], out[3]))            # (layers, Q, 4)
         for k, i in enumerate(todo):

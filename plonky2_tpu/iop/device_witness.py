@@ -131,8 +131,9 @@ class DeviceWitnessPlan:
             self._pi_idx, self._waves)
         wires = self._gather_wires_jit(vpair, self._fix_pos, self._fix_src)
         del vpair
-        pis = [int(x) for x in gf.to_u64((np.asarray(pi_pair[0]),
-                                          np.asarray(pi_pair[1])))]
+        from ..runtime import meshctx
+        pis = [int(x) for x in gf.to_u64(
+            meshctx.host_get((pi_pair[0], pi_pair[1])))]
         return wires, pis
 
 

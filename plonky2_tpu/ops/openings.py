@@ -78,7 +78,9 @@ def eval_openings_batched(batches: list, points: list) -> list:
     zp_lo, zp_hi = gf.from_u64(zpows)
     fn = _multi_eval_fn(tuple(c[0].shape[0] for c in coeffs), degree,
                         len(points))
-    outs = jax.device_get(fn(coeffs, jnp.asarray(zp_lo), jnp.asarray(zp_hi)))
+    from ..runtime import meshctx
+    outs = meshctx.host_get(fn(coeffs, jnp.asarray(zp_lo),
+                               jnp.asarray(zp_hi)))
     result = []
     for arr in outs:                    # (n_points, 2, 2, B)
         per_point = []
@@ -121,7 +123,9 @@ def eval_device_polys_ext(batch, zpow: np.ndarray) -> np.ndarray:
     B, n = c_lo.shape
     zp_lo, zp_hi = gf.from_u64(zpow)
     fn = _eval_fn(B, n)
-    out = np.asarray(fn(c_lo, c_hi, jnp.asarray(zp_lo), jnp.asarray(zp_hi)))
+    from ..runtime import meshctx
+    out = np.asarray(meshctx.host_get(
+        fn(c_lo, c_hi, jnp.asarray(zp_lo), jnp.asarray(zp_hi))))
     # out: (2 components, 2 limbs, B)
     v0 = gf.to_u64((out[0, 0], out[0, 1]))
     v1 = gf.to_u64((out[1, 0], out[1, 1]))

@@ -36,6 +36,32 @@ def mesh_sharding(mesh):
         _STATE["mesh"] = old
 
 
+def host_get(tree):
+    """`jax.device_get` that also works across processes.
+
+    Under a multi-process mesh (`jax.distributed`), jitted outputs can be
+    sharded over devices this process cannot address; fetching them raises.
+    Replicate such arrays with a collective all-gather first (every process
+    runs the same SPMD program, so every process participates), then fetch.
+    Single-process arrays pass straight through.
+    """
+    import jax
+
+    import numpy as np
+
+    def fix(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            devs = np.array(sorted(x.sharding.device_set, key=lambda d: d.id))
+            mesh = Mesh(devs, ("all",))
+            return jax.jit(lambda a: a,
+                           out_shardings=NamedSharding(mesh,
+                                                       PartitionSpec()))(x)
+        return x
+
+    return jax.device_get(jax.tree_util.tree_map(fix, tree))
+
+
 def put_array(arr, axis: Optional[int]):
     """device_put one array, sharded like :func:`put_pair`."""
     import jax
