@@ -6,12 +6,19 @@ gate rows, wide-ecc config: 234 wire polys, rate_bits=3, cap_height=4,
 cuda/test.cu:105-115) with a warm ProverSession.  Baseline: the reference's
 published 5 s GPU proof at this scale (BASELINE.md, README.md:14).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}
-(vs_baseline > 1 means faster than the reference's 5 s).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} on
+STDOUT at the end.  Incremental progress JSON lines go to STDERR as each
+phase completes (build / cold / warm), so a driver timeout still leaves
+evidence of how far the run got and what each phase cost.
 """
 import json
 import os
+import sys
 import time
+
+
+def _progress(**kw):
+    print(json.dumps({"bench_progress": kw}), file=sys.stderr, flush=True)
 
 
 def main():
@@ -47,18 +54,23 @@ def main():
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
         save_circuit(cache_path, data, extra=(pw, root))
     build_s = time.perf_counter() - t0
+    _progress(phase="build", seconds=round(build_s, 3),
+              cached=cached is not None)
 
     sess = ProverSession(data, use_device=on_accel)
     t0 = time.perf_counter()
     proof = sess.prove(pw)
     cold_s = time.perf_counter() - t0
+    _progress(phase="cold_prove", seconds=round(cold_s, 3))
     assert proof.public_inputs == root
     sess.verify(proof)
+    _progress(phase="cold_verify", ok=True)
 
     timing = TimingTree("prove")
     t0 = time.perf_counter()
     proof = sess.prove(pw, timing=timing)
     warm_s = time.perf_counter() - t0
+    _progress(phase="warm_prove", seconds=round(warm_s, 3))
     sess.verify(proof)
 
     phases = {c.name: round(c.duration, 3)
@@ -73,7 +85,7 @@ def main():
         "cold_seconds": round(cold_s, 3),
         "build_seconds": round(build_s, 3),
         "phases": phases,
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -24,7 +24,8 @@ witness generator that runs a program into these rows lives in
 CTL is live: ADD/MUL/SUB/LT/GT (and the modular ops) look their
 (input0, input1, result) triples up in the arithmetic table — see
 ``ctl_arithmetic_rows`` below and `all_stark.py`.  Gas accounting is
-future work."""
+live: the GAS column is constrained row-to-row against the per-opcode
+cost table (see ``gas`` stage below and `generation.py`)."""
 from __future__ import annotations
 
 from dataclasses import dataclass

@@ -21,9 +21,18 @@ A generator class opts in by defining ``run_batch_device(meta, dep_pair)``
 (and optionally ``device_meta(gens)``); circuits containing any scalar-only
 generator fall back to the host engine.
 
-Conflict detection note: the host engine (generator.py) raises on
-conflicting writes; the device program last-write-wins.  The host path stays
-the semantic oracle — tests/test_device_witness.py pins equality.
+Conflict safety: the host engine (generator.py) is first-write-wins and
+raises when a later write disagrees; the device scatter is last-write-wins.
+The two can only diverge observably when some slot is structurally written
+MORE THAN ONCE (single-writer slots are trivially identical under either
+policy, and equal-value rewrites are unobservable).  ``_simulate_waves``
+therefore counts structural rewrites during the boolean replay — any slot
+rewritten across waves, duplicated inside one wave's write set, or written
+over an input — and ``build_plan`` refuses to build a device plan for such
+circuits (``None`` -> the prover falls back to the host engine, which
+raises loudly iff the duplicate values genuinely conflict).  Plans that do
+build are conflict-free by construction; tests/test_device_witness.py pins
+host/device equality and the loud-failure path.
 """
 from __future__ import annotations
 
@@ -142,13 +151,19 @@ class _PlanMismatch(Exception):
 
 
 def _simulate_waves(cache, generators, is_set, expired):
-    """Boolean replay of generate_partial_witness's wave loop; returns the
-    ordered [(gid, slots)] schedule, or None if the fixpoint stalls.
+    """Boolean replay of generate_partial_witness's wave loop; returns
+    (ordered [(gid, slots)] schedule, rewrites?) or None if the fixpoint
+    stalls.  `rewrites` is True when any slot is structurally written more
+    than once (over an input, across waves, or duplicated inside one
+    wave's write set) — the only situation where the device program's
+    last-write-wins scatter could observably diverge from the host
+    engine's first-write-wins-or-raise semantics.
     `expired` marks host-prefix generators already accounted for."""
     n = len(generators)
     remaining = n - int(expired.sum())
     pending = np.arange(n, dtype=np.int64)
     waves = []
+    rewrites = False
     while pending.size:
         pending = np.unique(pending)
         pending = pending[~expired[pending]]
@@ -167,6 +182,8 @@ def _simulate_waves(cache, generators, is_set, expired):
                 continue
             flat = group.out_reps[slots_r].ravel()
             fresh = ~is_set[flat]
+            if not fresh.all() or np.unique(flat).size != flat.size:
+                rewrites = True
             is_set[flat] = True
             if fresh.any():
                 newly.append(np.unique(flat[fresh]))
@@ -188,7 +205,7 @@ def _simulate_waves(cache, generators, is_set, expired):
             pending = np.empty(0, dtype=np.int64)
     if remaining:
         return None
-    return waves
+    return waves, rewrites
 
 
 def build_plan(prover_data, common_data, inputs) -> Optional[DeviceWitnessPlan]:
@@ -245,8 +262,16 @@ def build_plan(prover_data, common_data, inputs) -> Optional[DeviceWitnessPlan]:
     is_set[input_idx_np] = True
     expired = np.zeros(len(generators), dtype=bool)
     expired[cache.scalar_idx] = True
-    schedule = _simulate_waves(cache, generators, is_set, expired)
-    if schedule is None:
+    sim = _simulate_waves(cache, generators, is_set, expired)
+    if sim is None:
+        return None
+    schedule, rewrites = sim
+    if rewrites:
+        # Some slot has multiple structural writers: the device scatter's
+        # last-write-wins could silently diverge from the host engine's
+        # conflict check.  Refuse the plan — the prover falls back to the
+        # host engine, which raises iff the duplicate values actually
+        # conflict (and proves correctly when they agree).
         return None
 
     waves = []

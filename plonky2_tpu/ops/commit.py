@@ -73,8 +73,15 @@ def _commit_from_values_fused(values, rate_bits: int, cap_height: int,
 # phase B hashes leaves in DOMAIN chunks under lax.map (bounds the sponge
 # temps) and reduces the digest levels.
 
+import os
+
 _POLY_BLOCK = 32
-_CHUNK_BYTES_THRESHOLD = 1 << 28
+# Env overrides let small-shape harnesses (dryrun_multichip, multiproc
+# dryrun, tests) force the chunked path so the flagship-scale code compiles
+# and executes sharded without flagship-scale memory.
+_CHUNK_BYTES_THRESHOLD = int(os.environ.get("PLONKY2_TPU_CHUNK_BYTES",
+                                            1 << 28))
+_DOMAIN_CHUNK = int(os.environ.get("PLONKY2_TPU_DOMAIN_CHUNK", 1 << 18))
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5),
@@ -126,15 +133,31 @@ def _hash_and_reduce(leaves, cap_height: int, domain_chunk: int):
     return levels
 
 
+def _zeros_sharded(shape, axis: int):
+    """jnp.zeros placed with the active mesh's "d" axis on `axis` (so the
+    chunked pipeline's resident buffers stay sharded under mesh_sharding —
+    plain jnp.zeros would pin them to one device and undo the sharding the
+    prover placed on its inputs)."""
+    from ..runtime import meshctx
+    mesh = meshctx.active_mesh()
+    if mesh is None or shape[axis] % mesh.devices.size != 0:
+        return jnp.zeros(shape, jnp.uint32)
+    from jax.sharding import NamedSharding, PartitionSpec
+    spec = [None] * len(shape)
+    spec[axis] = "d"
+    return jnp.zeros(shape, jnp.uint32,
+                     device=NamedSharding(mesh, PartitionSpec(*spec)))
+
+
 def _commit_chunked(pair, rate_bits: int, cap_height: int, salt,
                     from_values: bool):
     B, n = pair[0].shape
     lde_size = n << rate_bits
     salt_rows = salt[0].shape[0] if salt is not None else 0
-    leaves_lo = jnp.zeros((B + salt_rows, lde_size), jnp.uint32)
-    leaves_hi = jnp.zeros((B + salt_rows, lde_size), jnp.uint32)
-    coeffs_lo = jnp.zeros((B, n), jnp.uint32)
-    coeffs_hi = jnp.zeros((B, n), jnp.uint32)
+    leaves_lo = _zeros_sharded((B + salt_rows, lde_size), 1)
+    leaves_hi = _zeros_sharded((B + salt_rows, lde_size), 1)
+    coeffs_lo = _zeros_sharded((B, n), 1)
+    coeffs_hi = _zeros_sharded((B, n), 1)
     for b0 in range(0, B, _POLY_BLOCK):
         blk = min(_POLY_BLOCK, B - b0)
         block = (jnp.asarray(pair[0][b0:b0 + blk]),
@@ -146,7 +169,7 @@ def _commit_chunked(pair, rate_bits: int, cap_height: int, salt,
         leaves_lo = leaves_lo.at[B:].set(salt[0])
         leaves_hi = leaves_hi.at[B:].set(salt[1])
     leaves = (leaves_lo, leaves_hi)
-    levels = _hash_and_reduce(leaves, cap_height, 1 << 18)
+    levels = _hash_and_reduce(leaves, cap_height, _DOMAIN_CHUNK)
     return (coeffs_lo, coeffs_hi), leaves, levels
 
 

@@ -36,6 +36,31 @@ def mesh_sharding(mesh):
         _STATE["mesh"] = old
 
 
+_REPLICATE_CACHE = {}
+
+
+def _replicator(device_ids_and_devs):
+    """One cached jitted identity-with-replicated-output per device set.
+
+    jax.jit caches its traced/compiled executables per input aval, so a
+    single jit object per device set suffices — building a fresh jit per
+    call would retrace/relower every fetch (~90 ms/dispatch through the
+    TPU tunnel) and never hit the dispatch cache.
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    key = tuple(d.id for d in device_ids_and_devs)
+    fn = _REPLICATE_CACHE.get(key)
+    if fn is None:
+        mesh = Mesh(np.array(device_ids_and_devs), ("all",))
+        fn = jax.jit(lambda a: a,
+                     out_shardings=NamedSharding(mesh, PartitionSpec()))
+        _REPLICATE_CACHE[key] = fn
+    return fn
+
+
 def host_get(tree):
     """`jax.device_get` that also works across processes.
 
@@ -44,19 +69,26 @@ def host_get(tree):
     Replicate such arrays with a collective all-gather first (every process
     runs the same SPMD program, so every process participates), then fetch.
     Single-process arrays pass straight through.
+
+    LOCKSTEP REQUIREMENT: the replication is a collective — every process
+    in the mesh must reach the same host_get calls in the same order, or
+    the backend's collective rendezvous times out (gloo: ~30 s, then an
+    error — divergence surfaces as a timeout, not a silent hang).  Lazily
+    cached call sites (PolynomialBatch.polynomials/.leaves, MerkleTree
+    query prefetch) must therefore be driven by process-uniform control
+    flow — the prover guarantees this because Fiat–Shamir challenges are
+    identical on every process.
+
+    Memory note: replication materializes a full copy on every device; the
+    prover only routes small transcript objects (caps, final poly, query
+    rows — <1 MB) through here, never whole LDE matrices.
     """
     import jax
 
-    import numpy as np
-
     def fix(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec
-            devs = np.array(sorted(x.sharding.device_set, key=lambda d: d.id))
-            mesh = Mesh(devs, ("all",))
-            return jax.jit(lambda a: a,
-                           out_shardings=NamedSharding(mesh,
-                                                       PartitionSpec()))(x)
+            devs = sorted(x.sharding.device_set, key=lambda d: d.id)
+            return _replicator(tuple(devs))(x)
         return x
 
     return jax.device_get(jax.tree_util.tree_map(fix, tree))

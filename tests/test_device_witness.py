@@ -122,3 +122,49 @@ def test_zk_circuit_plan_proof_verifies():
     proof = prove(data.prover_only, data.common, pw, use_device=True)
     data.verify(proof)
     assert proof.public_inputs == root
+
+
+def _conflicting_circuit(a_val, b_val):
+    """Two mul generators whose outputs are `connect`ed into one copy class:
+    both write the same representative slot — equal values are a legal
+    duplicate, unequal values are a genuine generator conflict."""
+    from plonky2_tpu.iop.witness import PartialWitness
+    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+
+    from test_plonk import fast_test_config
+
+    builder = CircuitBuilder(fast_test_config())
+    a = builder.add_virtual_target()
+    b = builder.add_virtual_target()
+    c1 = builder.mul(a, a)
+    c2 = builder.mul(b, b)
+    builder.connect(c1, c2)
+    builder.register_public_input(c1)
+    data = builder.build()
+    pw = PartialWitness()
+    pw.set_target(a, a_val)
+    pw.set_target(b, b_val)
+    return data, pw
+
+
+def test_multi_writer_circuit_refuses_device_plan():
+    """Structural multi-writer slots make last-write-wins unsafe: the plan
+    must refuse (conflict-free-by-construction guarantee)."""
+    data, pw = _conflicting_circuit(2, 2)
+    assert build_plan(data.prover_only, data.common, pw) is None
+
+
+def test_conflicting_writes_fail_loudly_on_both_engines():
+    data, pw = _conflicting_circuit(2, 3)   # 4 != 9: genuine conflict
+    with pytest.raises((ValueError, AssertionError)):
+        generate_partial_witness(pw, data.prover_only, data.common)
+    # device path: plan refused -> host engine fallback -> same loud error
+    from plonky2_tpu.plonk.prover import prove
+    with pytest.raises((ValueError, AssertionError)):
+        prove(data.prover_only, data.common, pw, use_device=True)
+
+
+def test_equal_duplicate_writes_still_prove_via_host_fallback():
+    data, pw = _conflicting_circuit(2, 2)   # 4 == 4: legal duplicate
+    host = generate_partial_witness(pw, data.prover_only, data.common)
+    assert host.get_targets(data.prover_only.public_inputs) == [4]
