@@ -408,11 +408,13 @@ def _fused_fri_fn(n: int, arities: tuple, cap_height: int, pow_bits: int,
             shift = next_shift
             m //= arity
 
-        # observe the final polynomial's coefficients
-        for i in range(final_len):
-            dch.observe_extension_element(
-                ((coeffs[0][0, i], coeffs[1][0, i]),
-                 (coeffs[0][1, i], coeffs[1][1, i])))
+        # observe the final polynomial's coefficients: (final_len, 2) ext
+        # elements flattened component-minor, as ONE scanned bulk absorb
+        # (the unrolled per-element form was ~128 separately-traced
+        # duplexes — the bulk of this program's cold compile)
+        seq_lo = coeffs[0][:, :final_len].T.reshape(-1)
+        seq_hi = coeffs[1][:, :final_len].T.reshape(-1)
+        dch.observe_elements_array(seq_lo, seq_hi)
 
         # PoW grind (reference prover.rs:123-171; smallest witness, same
         # as the host grind, so proofs stay byte-identical)

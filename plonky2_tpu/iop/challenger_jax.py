@@ -79,12 +79,58 @@ class DeviceChallenger:
         self.observe_element(element[0])
         self.observe_element(element[1])
 
+    def observe_elements_array(self, lo, hi) -> None:
+        """Bulk absorb of K traced elements ((K,) uint32 pair) — the full
+        rate blocks run under ONE lax.scan instead of K/8 unrolled
+        permutations.  Byte-identical to K observe_element calls: a 512-
+        coefficient final-poly observe was ~128 separately-traced duplexes
+        (the bulk of the fused FRI program's 235 s cold compile)."""
+        import jax
+
+        K = int(lo.shape[0])
+        self.output_buffer.clear()
+        # peel elements one-by-one until the input buffer hits a block
+        # boundary (host-known length, usually zero elements)
+        k = 0
+        if self.input_buffer:
+            peel = min((pos.SPONGE_RATE - len(self.input_buffer))
+                       % pos.SPONGE_RATE, K)
+            for i in range(peel):
+                self.observe_element((lo[i], hi[i]))
+            k = peel
+        nfull = (K - k) // pos.SPONGE_RATE
+        if nfull:
+            st_lo = jnp.stack([s[0] for s in self.state])[:, None]  # (12,1)
+            st_hi = jnp.stack([s[1] for s in self.state])[:, None]
+            blocks = (lo[k:k + nfull * pos.SPONGE_RATE]
+                      .reshape(nfull, pos.SPONGE_RATE),
+                      hi[k:k + nfull * pos.SPONGE_RATE]
+                      .reshape(nfull, pos.SPONGE_RATE))
+
+            def body(st, blk):
+                s = (jnp.concatenate([blk[0][:, None],
+                                      st[0][pos.SPONGE_RATE:]], axis=0),
+                     jnp.concatenate([blk[1][:, None],
+                                      st[1][pos.SPONGE_RATE:]], axis=0))
+                from ..hash.poseidon_wires_jax import poseidon_fast_t
+                return poseidon_fast_t(s), None
+
+            (st_lo, st_hi), _ = jax.lax.scan(body, (st_lo, st_hi), blocks)
+            self.state = [(st_lo[i, 0], st_hi[i, 0])
+                          for i in range(pos.WIDTH)]
+            # matches _duplexing's post-state exactly (an immediately
+            # following observe clears it again, also matching)
+            self.output_buffer = list(self.state[:pos.SPONGE_RATE])
+            k += nfull * pos.SPONGE_RATE
+        for i in range(k, K):
+            self.observe_element((lo[i], hi[i]))
+
     def observe_cap_array(self, cap_pair, cap_len: int) -> None:
-        """cap_pair: GF pair of shape (4, cap_len) (column-major digests)."""
+        """cap_pair: GF pair of shape (4, cap_len) (column-major digests).
+        Element order matches the host challenger: digest-major
+        (cap j, then rows 0..3) — i.e. the transposed flatten."""
         lo, hi = cap_pair
-        for j in range(cap_len):
-            for i in range(4):
-                self.observe_element((lo[i, j], hi[i, j]))
+        self.observe_elements_array(lo.T.reshape(-1), hi.T.reshape(-1))
 
     # -- draws -------------------------------------------------------------
 
