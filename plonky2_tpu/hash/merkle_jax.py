@@ -1,10 +1,15 @@
-"""Device-side Merkle construction — JAX, batched Poseidon over leaf columns.
+"""Device-side Merkle construction — batched Poseidon over leaf columns.
 
 Mirrors the reference GPU pipeline (hash_leaves_kernel + reduce_digests_kernel,
-cuda/plonky2_gpu_impl.cuh:350-462) as pure JAX in COLUMN-MAJOR layout:
-leaves are (L, N) (leaf i = column i) and digest levels are (4, N_k).
-TPU tiling pads the minor axis to 128 lanes, so the row-major (N, small)
-layouts of round 1 wasted 8-32x HBM; column-major keeps the huge axis minor.
+cuda/plonky2_gpu_impl.cuh:350-462) in COLUMN-MAJOR layout: leaves are (L, N)
+(leaf i = column i) and digest levels are (4, N_k).  TPU tiling pads the
+minor axis to 128 lanes, so the row-major (N, small) layouts of round 1
+wasted 8-32x HBM; column-major keeps the huge axis minor.
+
+On real TPU the leaf sponge and the wide compress levels run as Pallas
+kernels (hash/poseidon_pallas.py — VMEM-resident state, MXU MDS); narrow
+tails and CPU runs use the XLA sponge (hash/poseidon_jax.py).  Both are
+bit-identical to the numpy oracle.
 """
 from __future__ import annotations
 
@@ -13,6 +18,19 @@ import jax.numpy as jnp
 from ..field import gf_jax as gf
 from ..utils.bits import log2_strict
 from . import poseidon_jax as pj
+
+# narrowest batch worth a Pallas dispatch; below it the XLA sponge wins.
+# tile 512 measured fastest (280 ms vs 322 ms at 1024 for a (234, 2^17)
+# sponge; 2048+ blows the 16 MB VMEM scoped limit)
+_MIN_PALLAS_N = 1 << 11
+_PALLAS_TILE = 1 << 9
+
+
+def _pallas_mode():
+    from . import poseidon_pallas as pp
+    if not pp.sponge_enabled():
+        return None
+    return pp.sponge_interpret()
 
 
 def hash_leaves_or_noop_cols(leaves):
@@ -23,7 +41,25 @@ def hash_leaves_or_noop_cols(leaves):
         pad = 4 - L
         return (jnp.pad(lo, ((0, pad), (0, 0))),
                 jnp.pad(hi, ((0, pad), (0, 0))))
+    interp = _pallas_mode()
+    if interp is not None and N >= _MIN_PALLAS_N and N % _PALLAS_TILE == 0:
+        from . import poseidon_pallas as pp
+        return pp.hash_leaves_cols_pallas(leaves, tile=_PALLAS_TILE,
+                                          interpret=interp)
     return pj.hash_leaves_cols(leaves)
+
+
+def _compress_level(cur_lo, cur_hi):
+    left = (cur_lo[:, 0::2], cur_hi[:, 0::2])
+    right = (cur_lo[:, 1::2], cur_hi[:, 1::2])
+    m = left[0].shape[1]
+    interp = _pallas_mode()
+    if interp is not None and m >= _MIN_PALLAS_N and m % _PALLAS_TILE == 0:
+        from . import poseidon_pallas as pp
+        return pp.compress_pairs_cols_pallas(left, right,
+                                             tile=_PALLAS_TILE,
+                                             interpret=interp)
+    return pj.compress_pairs_cols(left, right)
 
 
 def build_digest_levels(leaves, cap_height: int):
@@ -36,9 +72,7 @@ def build_digest_levels(leaves, cap_height: int):
     levels = [hash_leaves_or_noop_cols(leaves)]
     for _ in range(bits - cap_height):
         cur_lo, cur_hi = levels[-1]
-        left = (cur_lo[:, 0::2], cur_hi[:, 0::2])
-        right = (cur_lo[:, 1::2], cur_hi[:, 1::2])
-        levels.append(pj.compress_pairs_cols(left, right))
+        levels.append(_compress_level(cur_lo, cur_hi))
     return levels
 
 
