@@ -257,8 +257,13 @@ def ecrecover(msg: int, y_parity: int, r: int, s: int) -> AffinePoint:
     (Ethereum's ecrecover; reference kernel asm ecrecover.asm, spec'd by
     cpu/kernel/tests/ecrecover.rs).  `y_parity` is 0/1."""
     n, p = SECP256K1_N, SECP256K1_P
+    # Ethereum pins the recovery x-coordinate to r itself and the recovery
+    # id v in {27, 28} encodes only the y parity, so the "r + n overflow"
+    # candidate (R.x = r + n < p) is NOT recoverable; signatures whose r
+    # falls outside [1, n-1] are rejected outright (the kernel routine
+    # secp_asm.py `ecrecover` enforces the same bounds with r < n / LT).
     assert 0 < r < n and 0 < s < n
-    x = r                                   # ignore the r+n overflow case
+    x = r
     y2 = (pow(x, 3, p) + SECP256K1_B) % p
     y = pow(y2, (p + 1) // 4, p)            # p % 4 == 3
     assert y * y % p == y2, "r is not an x-coordinate on the curve"

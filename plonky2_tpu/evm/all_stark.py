@@ -128,10 +128,51 @@ def all_cross_table_lookups() -> List[CrossTableLookup]:
     return [ctl_keccak(), ctl_logic(), ctl_memory()]
 
 
+def ctl_arithmetic_ternary(t) -> CrossTableLookup:
+    """CPU ADDMOD/MULMOD (a, b, m, out) quadruples are looked up in the
+    arithmetic table's modular rows — the soundness backbone of the
+    in-kernel secp256k1 routines (no upstream analogue; the reference's
+    table is unconnected)."""
+    from . import arithmetic as arith_mod
+    from . import cpu as cpu_mod
+    looking = TableWithColumns(
+        table=t["cpu"], columns=cpu_mod.ctl_data_arithmetic_ternary(),
+        filter_column=cpu_mod.ctl_filter_arithmetic_ternary())
+    looked = TableWithColumns(
+        table=t["arithmetic"], columns=arith_mod.ctl_data_ternary(),
+        filter_column=arith_mod.ctl_filter_ternary())
+    return CrossTableLookup(looking_tables=[looking], looked_table=looked)
+
+
+def ctl_arithmetic_div(t) -> CrossTableLookup:
+    from . import arithmetic as arith_mod
+    from . import cpu as cpu_mod
+    looking = TableWithColumns(
+        table=t["cpu"], columns=cpu_mod.ctl_data_arithmetic_div(),
+        filter_column=cpu_mod.ctl_filter_arithmetic_div())
+    looked = TableWithColumns(
+        table=t["arithmetic"], columns=arith_mod.ctl_data_div(),
+        filter_column=arith_mod.ctl_filter_div())
+    return CrossTableLookup(looking_tables=[looking], looked_table=looked)
+
+
+def ctl_arithmetic_mod(t) -> CrossTableLookup:
+    from . import arithmetic as arith_mod
+    from . import cpu as cpu_mod
+    looking = TableWithColumns(
+        table=t["cpu"], columns=cpu_mod.ctl_data_arithmetic_mod(),
+        filter_column=cpu_mod.ctl_filter_arithmetic_mod())
+    looked = TableWithColumns(
+        table=t["arithmetic"], columns=arith_mod.ctl_data_mod(),
+        filter_column=arith_mod.ctl_filter_mod())
+    return CrossTableLookup(looking_tables=[looking], looked_table=looked)
+
+
 def all_cross_table_lookups_with_cpu() -> List[CrossTableLookup]:
     t = CPU_TABLES
     return [ctl_keccak(t), ctl_keccak_sponge(t), ctl_logic(t),
-            ctl_memory(t), ctl_arithmetic(t)]
+            ctl_memory(t), ctl_arithmetic(t), ctl_arithmetic_ternary(t),
+            ctl_arithmetic_div(t), ctl_arithmetic_mod(t)]
 
 
 def make_all_stark() -> AllStark:

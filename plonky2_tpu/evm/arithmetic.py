@@ -229,27 +229,68 @@ class Operation:
         return 2 if self.op in MODULAR_OPS else 1
 
 
-# one-row ops the CPU cross-table lookup binds; the modular family's
-# output lives on its second row and is not wired yet
+# one-row ops the CPU cross-table lookup binds
 CTL_OPS = [IS_ADD, IS_MUL, IS_SUB, IS_LT, IS_GT]
+# ternary modular ops the CPU executes (ADDMOD/MULMOD opcodes); all four
+# payload operands (a, b, m, out) live on the FIRST row of the 2-row pair
+TERNARY_CTL_OPS = [IS_ADDMOD, IS_MULMOD]
+
+
+def _u32_limb_cols(rng) -> List[Column]:
+    """The table stores 16-bit limbs while the CPU's memory channels carry
+    32-bit limbs; each payload limb is lo + 2^16·hi so the lookup compares
+    values in the CPU's basis."""
+    return [Column([(rng[2 * i], 1), (rng[2 * i + 1], 1 << LIMB_BITS)])
+            for i in range(N_LIMBS // 2)]
 
 
 def ctl_data() -> List[Column]:
     """Looked-up row shape for the CPU's arithmetic lookup: the one-row op
-    flags, then input0/input1/output.  The table stores 16-bit limbs while
-    the CPU's memory channels carry 32-bit limbs, so each payload limb is
-    the linear combination lo + 2^16·hi — the lookup compares values in the
-    CPU's basis.  (The reference ships this table unconnected; there is no
-    upstream analogue of this CTL.)"""
+    flags, then input0/input1/output.  (The reference ships this table
+    unconnected; there is no upstream analogue of this CTL.)"""
     cols = Column.singles(CTL_OPS)
     for rng in (GENERAL_INPUT_0, GENERAL_INPUT_1, GENERAL_INPUT_2):
-        cols += [Column([(rng[2 * i], 1), (rng[2 * i + 1], 1 << LIMB_BITS)])
-                 for i in range(N_LIMBS // 2)]
+        cols += _u32_limb_cols(rng)
     return cols
 
 
 def ctl_filter() -> Column:
     return Column.sum_cols(CTL_OPS)
+
+
+def ctl_data_ternary() -> List[Column]:
+    """ADDMOD/MULMOD lookup payload: op flags + (a, b, modulus, output),
+    all first-row registers (MODULAR_OUTPUT = GENERAL_INPUT_3)."""
+    cols = Column.singles(TERNARY_CTL_OPS)
+    for rng in (MODULAR_INPUT_0, MODULAR_INPUT_1, MODULAR_MODULUS,
+                MODULAR_OUTPUT):
+        cols += _u32_limb_cols(rng)
+    return cols
+
+
+def ctl_filter_ternary() -> Column:
+    return Column.sum_cols(TERNARY_CTL_OPS)
+
+
+def ctl_data_div() -> List[Column]:
+    """DIV lookup payload: (numerator, denominator, quotient); the quotient
+    is the modular path's first-row QUO_INPUT_LO register."""
+    return (_u32_limb_cols(DIV_NUMERATOR) + _u32_limb_cols(DIV_DENOMINATOR)
+            + _u32_limb_cols(DIV_OUTPUT))
+
+
+def ctl_filter_div() -> Column:
+    return Column.single(IS_DIV)
+
+
+def ctl_data_mod() -> List[Column]:
+    """MOD lookup payload: (value, modulus, residue=MODULAR_OUTPUT)."""
+    return (_u32_limb_cols(MODULAR_INPUT_0) + _u32_limb_cols(MODULAR_MODULUS)
+            + _u32_limb_cols(MODULAR_OUTPUT))
+
+
+def ctl_filter_mod() -> Column:
+    return Column.single(IS_MOD)
 
 
 class ArithmeticStark(Stark):

@@ -5,16 +5,18 @@ The reference drives a ~40-file kernel asm library whose sources are absent
 from its own tree here; this framework ships its OWN block kernel written in
 the same asm DSL (kernel/).  The kernel:
 
-1. reads the three "before" trie-root digests from prover inputs and stores
-   them in `Segment::GlobalMetadata` (reference main.asm stores the same
-   fields after hashing the loaded tries in-kernel — in-kernel trie hashing
-   via KECCAK_GENERAL is future work; the digests are host-computed with
-   the same keccak MPT rules, mpt.py:calc_hash);
-2. loads the linearized trie data (mpt.py all_mpt_prover_inputs) into
+1. loads the linearized trie data (mpt.py all_mpt_prover_inputs) into
    `Segment::TrieData` word by word with a counted loop, recording
    TrieDataSize (reference mpt/load.asm);
-3. with no transactions, copies the before-digests to the after slots and
-   halts (reference simulate_cpu halt loop, generation/mod.rs:119-136).
+2. COMPUTES the state root in-kernel by RLP-encoding and keccak-hashing the
+   loaded TrieData (mpt_asm.py, KECCAK_GENERAL — reference mpt_hash.asm,
+   spec'd by cpu/kernel/tests/mpt/hash.rs) and stores it in
+   `Segment::GlobalMetadata`; txn/receipt roots come from prover inputs
+   (lossy linearization) and are host-cross-checked;
+3. processes the signed transactions (txn_asm.py) — optionally recovering
+   each sender fully in-kernel (secp_asm.py ecrecover) — then REHASHES the
+   mutated TrieData for the state after-root and halts (reference
+   simulate_cpu halt loop, generation/mod.rs:119-136).
 
 PublicValues (trie roots before/after + BlockMetadata) are read back from
 the executed witness memory exactly like the reference
@@ -94,13 +96,16 @@ class TrieRoots:
 class PublicValues:
     """reference proof.rs:36-50.
 
-    SOUNDNESS CAVEAT: the trie-root digests enter the kernel through
-    PROVER_INPUT and are not yet bound to the loaded trie data by the STARK
-    itself (in-kernel KECCAK_GENERAL trie hashing is future work).  The
-    host-side trace generator cross-checks them against independently
-    recomputed ``PartialTrie.calc_hash()`` roots and refuses to emit
-    mismatching PublicValues, but a verifier of a third-party proof must not
-    treat these roots as proof-bound."""
+    The STATE roots (before and after) are proof-bound: the kernel computes
+    them by hashing the loaded/mutated TrieData in-kernel through
+    KECCAK_GENERAL (mpt_asm.py), so tampering with trie bytes changes the
+    executed digest and breaks the memory/keccak CTLs.  SOUNDNESS CAVEAT:
+    the TRANSACTION and RECEIPT roots still enter through PROVER_INPUT
+    (their linearization is lossy); the host-side trace generator
+    cross-checks those against independently recomputed
+    ``PartialTrie.calc_hash()`` roots and refuses to emit mismatching
+    PublicValues, but a verifier of a third-party proof must not treat
+    them as proof-bound."""
     trie_roots_before: TrieRoots
     trie_roots_after: TrieRoots
     block_metadata: BlockMetadata
@@ -217,14 +222,6 @@ _BLOCK_KERNEL_ASM = """
 %endmacro
 
 GLOBAL main:
-    // "before" trie-root digests -> global metadata (slots 8..10)
-    PROVER_INPUT(mpt::state_digest)
-    %mstore_global(8)
-    PROVER_INPUT(mpt::txn_digest)
-    %mstore_global(9)
-    PROVER_INPUT(mpt::receipt_digest)
-    %mstore_global(10)
-
     // load linearized trie data into Segment::TrieData
     PROVER_INPUT(mpt::count)
     PUSH 0
@@ -250,6 +247,21 @@ load_done:
     // stack: i(==n), n
     POP
     %mstore_global(3)            // TrieDataSize = n
+
+    // "before" trie roots -> global metadata (slots 8..10).  The STATE
+    // root is COMPUTED in-kernel from the loaded TrieData (mpt_asm.py
+    // mpt_hash_state_trie, KECCAK_GENERAL-bound), so slot 8 is a fact of
+    // the constrained execution; txn/receipt roots remain prover inputs
+    // (their linearization is lossy, evm/mpt.py all_mpt_prover_inputs)
+    PUSH main_state_hashed
+    PUSH mpt_hash_state_trie
+    JUMP
+main_state_hashed:
+    %mstore_global(8)
+    PROVER_INPUT(mpt::txn_digest)
+    %mstore_global(9)
+    PROVER_INPUT(mpt::receipt_digest)
+    %mstore_global(10)
 
     // process signed transactions (type 0): parse RLP in-kernel, charge
     // intrinsic gas through CONSUME_GAS, debit/credit balances in the
@@ -288,6 +300,11 @@ txn_parsed:
     PUSH buy_intrinsic_gas
     JUMP
 txn_gas_done:
+    // sender -> TXN_FIELD_ORIGIN: either full in-kernel ecrecover over
+    // the re-encoded signing payload, or a prover-supplied witness
+    // (block_kernel(in_kernel_ecrecover=...))
+// SENDER_SPLICE
+txn_sender_done:
     PUSH txn_xfer_done
     PUSH txn_transfer
     JUMP
@@ -299,10 +316,16 @@ txn_loop:
     PUSH txn_first
     JUMP
 txns_done:
-    // "after" trie-root digests (host-recomputed post-transaction tries,
-    // cross-checked against an independent application in
-    // generate_block_traces) -> global metadata slots 11..13
-    PROVER_INPUT(mpt::state_digest_after)
+    // "after" trie roots -> global metadata slots 11..13.  The state
+    // after-root splice either REHASHES the mutated TrieData in-kernel
+    // (txn_transfer debits/credits balances in place — exact whenever the
+    // block only touches existing accounts) or, for blocks that CREATE
+    // accounts (a structural trie insert the in-place mutation cannot
+    // express), takes the host root as a prover input; txn/receipt
+    // after-roots stay prover inputs.  All prover-input roots are
+    // cross-checked against an independent re-application in
+    // generate_block_traces.
+// AFTER_ROOT_SPLICE
     %mstore_global(11)
     PROVER_INPUT(mpt::txn_digest_after)
     %mstore_global(12)
@@ -319,8 +342,46 @@ GLOBAL halt_pc1:
 """
 
 
-def block_kernel() -> Kernel:
+_SENDER_IN_KERNEL = """
+    PUSH txn_sender_done
+    PUSH recover_sender
+    JUMP
+"""
+_SENDER_PROVER_INPUT = """
+    PROVER_INPUT(txn::sender)
+    %mstore_txn_field(@TXN_FIELD_ORIGIN)
+"""
+_AFTER_ROOT_IN_KERNEL = """
+    PUSH main_state_hashed2
+    PUSH mpt_hash_state_trie
+    JUMP
+main_state_hashed2:
+"""
+_AFTER_ROOT_PROVER_INPUT = """
+    PROVER_INPUT(mpt::state_digest_after)
+"""
+
+
+def block_kernel(in_kernel_ecrecover: bool = False,
+                 in_kernel_after_root: bool = True) -> Kernel:
+    """Assemble the block kernel.
+
+    ``in_kernel_ecrecover=True`` recovers every sender with the secp256k1
+    routine library (secp_asm.py) over the in-kernel signing hash — fully
+    proof-bound, ~110k cycles per transaction (double-and-add scalar
+    muls); False takes the sender as a PROVER_INPUT witness, which keeps
+    unit-scale block proofs small.
+
+    The state BEFORE-root is always computed in-kernel from the loaded
+    TrieData.  ``in_kernel_after_root`` picks the after-root binding:
+    in-kernel rehash of the mutated TrieData (exact iff the block touches
+    only existing accounts) vs a host-cross-checked prover input (needed
+    when a transfer creates an account — generate_block_traces selects
+    automatically)."""
+    from .kernel.asm_util import UTIL_ASM
     from .kernel.stdlib import SHIFT_TABLE_INIT
+    from .mpt_asm import MPT_ASM
+    from .secp_asm import SECP_ASM
     from .txn_asm import TXN_ASM, txn_field_constants
 
     consts = evm_constants()
@@ -329,8 +390,16 @@ def block_kernel() -> Kernel:
     # body falls through into the first txn's processing
     main_asm = _BLOCK_KERNEL_ASM.replace(
         "// SHIFT_TABLE_INIT_SPLICE\n", SHIFT_TABLE_INIT + "\n")
-    return assemble([parse(main_asm), parse(TXN_ASM)], consts,
-                    optimize=False)
+    main_asm = main_asm.replace(
+        "// SENDER_SPLICE\n",
+        _SENDER_IN_KERNEL if in_kernel_ecrecover else _SENDER_PROVER_INPUT)
+    main_asm = main_asm.replace(
+        "// AFTER_ROOT_SPLICE\n",
+        _AFTER_ROOT_IN_KERNEL if in_kernel_after_root
+        else _AFTER_ROOT_PROVER_INPUT)
+    files = [parse(main_asm), parse(TXN_ASM), parse(UTIL_ASM),
+             parse(MPT_ASM), parse(SECP_ASM)]
+    return assemble(files, consts, optimize=False)
 
 
 # ---------------------------------------------------------------------------
@@ -338,7 +407,8 @@ def block_kernel() -> Kernel:
 # ---------------------------------------------------------------------------
 
 def generate_block_traces(inputs: GenerationInputs, min_rows: int = 8,
-                          range_check=None):
+                          range_check=None,
+                          in_kernel_ecrecover: bool = False):
     """Returns (traces for the 6-table AllStark, PublicValues, kernel).
 
     ``range_check``: arithmetic-table 16-bit limb range check — None (auto
@@ -346,8 +416,14 @@ def generate_block_traces(inputs: GenerationInputs, min_rows: int = 8,
     ``all_stark.arithmetic_range_check_policy``."""
     from .all_stark import generate_all_traces_with_cpu
     from .generation import generate_kernel_execution
+    from .transactions import creates_accounts
 
-    kernel = block_kernel()
+    # blocks that create accounts change the trie STRUCTURE; the kernel's
+    # in-place balance mutation cannot express that, so the after-root
+    # falls back to the host-cross-checked prover input there
+    after_in_kernel = not creates_accounts(inputs.tries, inputs.signed_txns)
+    kernel = block_kernel(in_kernel_ecrecover=in_kernel_ecrecover,
+                          in_kernel_after_root=after_in_kernel)
     provider_factory = lambda: BlockProverInputs(inputs)  # noqa: E731
     ex = generate_kernel_execution(kernel, min_rows=min_rows,
                                    prover_input_factory=provider_factory)
@@ -404,12 +480,14 @@ def generate_block_traces(inputs: GenerationInputs, min_rows: int = 8,
 
 
 def prove_block(inputs: GenerationInputs, config=None, min_rows: int = 8,
-                range_check=None):
+                range_check=None, in_kernel_ecrecover: bool = False):
     """GenerationInputs -> AllProof with PublicValues (reference
     prover.rs prove + generation/mod.rs generate_traces).
 
     ``range_check=None`` auto-enables the arithmetic table's 16-bit limb
-    range check at production heights (>= 2^16 arithmetic rows)."""
+    range check at production heights (>= 2^16 arithmetic rows).
+    ``in_kernel_ecrecover=True`` binds every transfer to its signature via
+    the in-kernel secp256k1 recovery (see block_kernel)."""
     from ..stark.config import StarkConfig
     from .all_stark import make_all_stark_with_cpu
     from .arithmetic import NUM_ARITH_RC_COLUMNS
@@ -418,7 +496,8 @@ def prove_block(inputs: GenerationInputs, config=None, min_rows: int = 8,
     config = config if config is not None else \
         StarkConfig.standard_fast_config()
     traces, public_values, kernel = generate_block_traces(
-        inputs, min_rows=min_rows, range_check=range_check)
+        inputs, min_rows=min_rows, range_check=range_check,
+        in_kernel_ecrecover=in_kernel_ecrecover)
     # resolve the flag from the generated trace layout so the Stark
     # instance can never drift from the witness
     rc = traces[-1].shape[0] == NUM_ARITH_RC_COLUMNS

@@ -189,6 +189,48 @@ def ctl_filter_arithmetic() -> Column:
                             OP["lt"], OP["gt"]])
 
 
+def ctl_data_arithmetic_ternary() -> List[Column]:
+    """ADDMOD/MULMOD: operands (a, b, m) pop through channels 0..2 and the
+    result through the push channel — all four already constrained against
+    the stack, so the lookup payload is fully stack-bound (the column order
+    mirrors arithmetic.ctl_data_ternary)."""
+    cols = Column.singles([OP["addmod"], OP["mulmod"]])
+    for ch in (0, 1, 2, NUM_GP_CHANNELS - 1):
+        cols += Column.singles(MEM_CHANNELS[ch].value)
+    return cols
+
+
+def ctl_filter_arithmetic_ternary() -> Column:
+    return Column.sum_cols([OP["addmod"], OP["mulmod"]])
+
+
+def _ctl_data_divmod() -> List[Column]:
+    cols: List[Column] = []
+    for ch in (0, 1, NUM_GP_CHANNELS - 1):
+        cols += Column.singles(MEM_CHANNELS[ch].value)
+    return cols
+
+
+def ctl_data_arithmetic_div() -> List[Column]:
+    """DIV: (numerator, denominator) in channels 0/1, quotient in the push
+    channel (mirrors arithmetic.ctl_data_div)."""
+    return _ctl_data_divmod()
+
+
+def ctl_filter_arithmetic_div() -> Column:
+    return Column.single(OP["div"])
+
+
+def ctl_data_arithmetic_mod() -> List[Column]:
+    """MOD: (value, modulus) in channels 0/1, residue in the push channel
+    (mirrors arithmetic.ctl_data_mod)."""
+    return _ctl_data_divmod()
+
+
+def ctl_filter_arithmetic_mod() -> Column:
+    return Column.single(OP["mod_"])
+
+
 def ctl_data_code_memory() -> List[Column]:
     cols = [Column.constant_col(1),
             Column.single(CODE_CONTEXT),

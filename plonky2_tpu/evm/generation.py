@@ -286,6 +286,10 @@ def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
             # disabled, like the logic CTL's
             set_u256_channel(trace, j, 2, r)
             arith_ops.append(ArithOp(_ARITH_CTL[op], x, y))
+        elif op == 0x04:                             # DIV: modular-path row
+            arith_ops.append(ArithOp("div", x, 0, modulus=y))
+        elif op == 0x06:                             # MOD
+            arith_ops.append(ArithOp("mod", x, 0, modulus=y))
         del S[-2:]
         S.append(r)
         st.pc = pc + 1
@@ -338,6 +342,10 @@ def _fill_cycle(trace, j: int, st: ExecState, kernel: Kernel,
         else:
             r = (a * b) % N
         wire_stack_op(trace, j, op, S, push_value=r, context=st.context)
+        # ternary arithmetic CTL: (a, b, N) pop through channels 0..2 and
+        # r through the push channel (cpu.py ctl_data_arithmetic_ternary)
+        arith_ops.append(ArithOp("addmod" if op == 0x08 else "mulmod",
+                                 a, b, modulus=N))
         del S[-3:]
         S.append(r)
         st.pc = pc + 1

@@ -15,6 +15,11 @@ EC_CONSTANTS = {
         0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141,
     "BN_BASE":
         0x30644E72E131A029B85045B68181585D97816A916871CA8D3C208C16D87CFD47,
+    "SECP_GX":
+        0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
+    "SECP_GY":
+        0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
+    "U160": 1 << 160,
 }
 
 # intrinsic gas etc. (reference constants/mod.rs GAS_CONSTANTS)

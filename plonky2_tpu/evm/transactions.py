@@ -110,7 +110,10 @@ def apply_transactions(tries, signed_txns: List[bytes]
     """Returns (state_after, txn_trie_after, receipts_after, txns, senders).
 
     Balance-only transfers (reference transfer_to_new_addr.rs semantics:
-    no nonce bump, no gas deduction from balances — both TODO upstream)."""
+    no nonce bump, no gas deduction from balances — both TODO upstream).
+    Use ``creates_accounts`` to check whether any recipient leaf is NEW —
+    a structural trie change the kernel's in-place balance mutation cannot
+    reproduce (block.py picks the after-root binding mode from it)."""
     state = tries.state_trie
     txn_trie = tries.transactions_trie
     rcpt_trie = tries.receipts_trie
@@ -154,3 +157,18 @@ def apply_transactions(tries, signed_txns: List[bytes]
                                 Nibbles.from_bytes(rlp.encode_int(i)),
                                 receipt)
     return state, txn_trie, rcpt_trie, txns, senders
+
+
+def creates_accounts(tries, signed_txns: List[bytes]) -> bool:
+    """True if any transaction credits an account absent from the initial
+    state trie (a structural insert, not an in-place balance update).
+    An account first credited by an earlier txn in the same block was also
+    absent initially, so scanning against the initial trie is complete."""
+    state = tries.state_trie
+    for raw in signed_txns:
+        txn = decode_type0_txn(raw)
+        if txn.to_empty:
+            continue
+        if trie_get(state, _account_key(txn.to)) is None:
+            return True
+    return False

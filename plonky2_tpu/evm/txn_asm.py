@@ -7,10 +7,11 @@ Reference correspondence: process_type_0_txn / process_normalized_txn /
 intrinsic_gas live in the reference's kernel asm (sources absent from its
 tree; behavior spec'd by cpu/kernel/tests/transaction_parsing/
 parse_type_0_txn.rs and tests/core/intrinsic_gas.rs, mirrored by tests
-here).  Sender recovery (the reference's ecrecover.asm) enters through
-PROVER_INPUT(txn::sender) — host-computed secp256k1 recovery
-(ecdsa/curve.py ecrecover) — documented as prover-supplied until the
-in-kernel curve routine library lands.
+here).  Sender recovery: `recover_sender` below re-encodes the signing
+payload in-kernel (legacy / EIP-155), keccaks it through KECCAK_GENERAL
+and runs the full secp256k1 `ecrecover` (secp_asm.py); the block kernel
+can alternatively splice a PROVER_INPUT(txn::sender) witness for
+unit-scale proofs (evm/block.py block_kernel in_kernel_ecrecover flag).
 
 Stack convention: `routine(args..., retaddr)` with args above the return
 address; routines exit by rearranging to (ret, outs...) and JUMPing.
@@ -31,6 +32,11 @@ TXN_FIELDS = {
     "TXN_FIELD_R": 10,
     "TXN_FIELD_S": 11,
     "TXN_FIELD_ORIGIN": 12,
+    # re-encoding the signing payload needs the original byte shape of
+    # `to`: emptiness (contract creation) and the exact string length
+    # (addresses carry leading zeros, so minimal re-encoding would be wrong)
+    "TXN_FIELD_TO_PRESENT": 13,
+    "TXN_FIELD_TO_LEN": 14,
 }
 
 
@@ -128,6 +134,46 @@ rrs_single:
     %stack (b, pos, ret) -> (ret, b, pos)
     JUMP
 
+// (pos, ret) -> (value, len, pos') — like rlp_read_scalar but also
+// returns the original string byte-length (needed to re-encode `to`
+// faithfully: addresses carry leading zeros)
+GLOBAL rlp_read_scalar_len:
+    %rlp_read_byte
+    // b, pos, ret
+    DUP1
+    PUSH 0x80
+    GT
+    PUSH rrsl_single
+    JUMPI
+    %stack (b, pos) -> (b, 0x80, pos)
+    SUB
+    // len, pos, ret
+    DUP1
+    %stack (len, len2, pos) -> (len, 0, pos, len2)
+    // len, acc, pos, len0, ret
+rrsl_loop:
+    DUP1
+    ISZERO
+    PUSH rrsl_done
+    JUMPI
+    %stack (len, acc, pos) -> (pos, len, acc)
+    %rlp_read_byte
+    // byte, pos, len, acc, len0, ret
+    %stack (byte, pos, len, acc) -> (acc, 256, byte, len, pos)
+    MUL
+    ADD
+    %stack (acc, len) -> (len, 1, acc)
+    SUB
+    PUSH rrsl_loop
+    JUMP
+rrsl_done:
+    POP
+    %stack (acc, pos, len0, ret) -> (ret, acc, len0, pos)
+    JUMP
+rrsl_single:
+    %stack (b, pos, ret) -> (ret, b, 1, pos)
+    JUMP
+
 // (pos, ret) -> (datalen, pos') — bytes written to Segment::TxnData[0..len)
 GLOBAL rlp_read_data:
     %rlp_read_byte
@@ -212,10 +258,18 @@ p0_gp:
 p0_gas:
     %mstore_txn_field(@TXN_FIELD_GAS_LIMIT)
     %stack (pos) -> (pos, p0_to)
-    PUSH rlp_read_scalar
+    PUSH rlp_read_scalar_len
     JUMP
 p0_to:
+    // value, len, pos, ret
     %mstore_txn_field(@TXN_FIELD_TO)
+    DUP1
+    %mstore_txn_field(@TXN_FIELD_TO_LEN)
+    // to_present = (len != 0)
+    ISZERO
+    %stack (z) -> (1, z)
+    SUB
+    %mstore_txn_field(@TXN_FIELD_TO_PRESENT)
     %stack (pos) -> (pos, p0_value)
     PUSH rlp_read_scalar
     JUMP
@@ -679,11 +733,12 @@ mfs_ext_absent:
 // the transfer itself
 // ---------------------------------------------------------------------------
 
-// (ret) -> (): debit Origin by Value, credit To (if its account is loaded)
+// (ret) -> (): debit Origin by Value, credit To (if its account is loaded).
+// TXN_FIELD_ORIGIN must already hold the sender — either recovered
+// in-kernel (recover_sender below) or prover-supplied, per the block
+// kernel's sender splice (evm/block.py block_kernel).
 GLOBAL txn_transfer:
-    PROVER_INPUT(txn::sender)
-    DUP1
-    %mstore_txn_field(@TXN_FIELD_ORIGIN)
+    %mload_txn_field(@TXN_FIELD_ORIGIN)
     %stack (origin) -> (origin, tt_skey)
     PUSH addr_to_key
     JUMP
@@ -741,5 +796,218 @@ tt_tabsent:
 tt_end:
     JUMP
 tt_panic:
+    PANIC
+
+// ---------------------------------------------------------------------------
+// signing hash (legacy / EIP-155) + in-kernel sender recovery.  The RLP
+// signing payload re-encodes from the parsed TxnFields + TxnData bytes
+// into Segment::KernelGeneral (payload at offset 25, header reserve
+// before it), is keccaked via KECCAK_GENERAL, and feeds ecrecover
+// (secp_asm.py).  Canonical-scalar re-encoding reproduces the original
+// bytes for consensus-valid transactions.
+// ---------------------------------------------------------------------------
+
+%macro sighash_scalar(fld)
+    // (pos) -> (pos')
+    %mload_txn_field($fld)
+    %stack (v, pos) -> (@SEGMENT_KERNEL_GENERAL, pos, v, %%after)
+    PUSH rlp_write_scalar
+    JUMP
+%%after:
+%endmacro
+
+// (ret) -> (z): big-endian keccak of the signing payload
+GLOBAL compute_type0_sighash:
+    PUSH 25
+    %sighash_scalar(@TXN_FIELD_NONCE)
+    %sighash_scalar(@TXN_FIELD_MAX_FEE_PER_GAS)
+    %sighash_scalar(@TXN_FIELD_GAS_LIMIT)
+    // `to`: absent -> 0x80; else the original-length byte string
+    %mload_txn_field(@TXN_FIELD_TO_PRESENT)
+    ISZERO
+    PUSH sh_to_absent
+    JUMPI
+    %mload_txn_field(@TXN_FIELD_TO_LEN)
+    // len, pos
+    DUP1
+    PUSH 1
+    EQ
+    PUSH sh_to_maybe_single
+    JUMPI
+sh_to_multi:
+    DUP1
+    %stack (len) -> (len, 0x80)
+    ADD
+    DUP3
+    %stack (pos, hdr) -> (0, @SEGMENT_KERNEL_GENERAL, pos, hdr)
+    MSTORE_GENERAL
+    // len, pos
+    %mload_txn_field(@TXN_FIELD_TO)
+    // to, len, pos
+    %stack (to, len, pos) -> (pos, 1, to, len, len, pos)
+    ADD
+    %stack (pos1, to, len) -> (@SEGMENT_KERNEL_GENERAL, to, pos1, len, sh_to_stored)
+    PUSH store_be
+    JUMP
+sh_to_stored:
+    // len, pos
+    ADD
+    %stack (x) -> (x, 1)
+    ADD
+    PUSH sh_value
+    JUMP
+sh_to_maybe_single:
+    // len(=1), pos
+    %mload_txn_field(@TXN_FIELD_TO)
+    DUP1
+    PUSH 0x80
+    GT
+    PUSH sh_to_single
+    JUMPI
+    POP
+    PUSH sh_to_multi
+    JUMP
+sh_to_single:
+    %stack (to, len, pos) -> (0, @SEGMENT_KERNEL_GENERAL, pos, to, pos)
+    MSTORE_GENERAL
+    %stack (pos) -> (pos, 1)
+    ADD
+    PUSH sh_value
+    JUMP
+sh_to_absent:
+    DUP1
+    %stack (pos) -> (0, @SEGMENT_KERNEL_GENERAL, pos, 0x80)
+    MSTORE_GENERAL
+    %stack (pos) -> (pos, 1)
+    ADD
+sh_value:
+    %sighash_scalar(@TXN_FIELD_VALUE)
+    // data: the raw bytes in Segment::TxnData[0..DATA_LEN)
+    %mload_txn_field(@TXN_FIELD_DATA_LEN)
+    // dlen, pos
+    DUP1
+    PUSH 1
+    EQ
+    PUSH sh_data_maybe_single
+    JUMPI
+sh_data_multi:
+    // dlen is 0 or >= 2 here: prefix_fwd's short/long forms apply
+    %stack (dlen, pos) -> (@SEGMENT_KERNEL_GENERAL, pos, dlen, sh_data_hdr, dlen)
+    PUSH rlp_write_str_prefix_fwd
+    JUMP
+sh_data_hdr:
+    // pos', dlen
+    SWAP1
+sh_data_copy:
+    // dlen, pos
+    %stack (dlen, pos) -> (@SEGMENT_KERNEL_GENERAL, pos, @SEGMENT_TXN_DATA, 0, dlen, sh_data_done, pos, dlen)
+    PUSH mem_copy
+    JUMP
+sh_data_done:
+    // pos, dlen
+    ADD
+    PUSH sh_chainid
+    JUMP
+sh_data_maybe_single:
+    // a raw 1-byte string is verbatim only below 0x80 (unlike the RLP-item
+    // payloads rlp_write_str_prefix_fwd wraps), so handle both cases here
+    PUSH 0
+    PUSH @SEGMENT_TXN_DATA
+    PUSH 0
+    MLOAD_GENERAL
+    // b, dlen, pos
+    DUP1
+    PUSH 0x80
+    GT
+    PUSH sh_data_single
+    JUMPI
+    POP
+    // dlen(=1), pos: header 0x81, then copy the byte
+    DUP2
+    %stack (pos) -> (0, @SEGMENT_KERNEL_GENERAL, pos, 0x81)
+    MSTORE_GENERAL
+    SWAP1
+    %stack (pos) -> (pos, 1)
+    ADD
+    SWAP1
+    PUSH sh_data_copy
+    JUMP
+sh_data_single:
+    %stack (b, dlen, pos) -> (0, @SEGMENT_KERNEL_GENERAL, pos, b, pos)
+    MSTORE_GENERAL
+    %stack (pos) -> (pos, 1)
+    ADD
+sh_chainid:
+    // pos
+    %mload_txn_field(@TXN_FIELD_CHAIN_ID_PRESENT)
+    ISZERO
+    PUSH sh_finish
+    JUMPI
+    %sighash_scalar(@TXN_FIELD_CHAIN_ID)
+    // EIP-155: two empty scalars close the payload
+    DUP1
+    %stack (pos) -> (0, @SEGMENT_KERNEL_GENERAL, pos, 0x80)
+    MSTORE_GENERAL
+    %stack (pos) -> (pos, 1)
+    ADD
+    DUP1
+    %stack (pos) -> (0, @SEGMENT_KERNEL_GENERAL, pos, 0x80)
+    MSTORE_GENERAL
+    %stack (pos) -> (pos, 1)
+    ADD
+sh_finish:
+    // pe, ret
+    DUP1
+    %stack (pe) -> (pe, 25)
+    SUB
+    // L, pe, ret
+    %stack (l) -> (@SEGMENT_KERNEL_GENERAL, 25, l, sh_prefixed)
+    PUSH rlp_write_list_prefix
+    JUMP
+sh_prefixed:
+    // hstart, pe, ret
+    DUP2
+    DUP2
+    SWAP1
+    SUB
+    // total = pe - hstart, hstart, pe, ret
+    %stack (total, hstart, pe) -> (0, @SEGMENT_KERNEL_GENERAL, hstart, total)
+    KECCAK_GENERAL
+    %stack (z) -> (z, sh_swapped)
+    PUSH u256_byteswap
+    JUMP
+sh_swapped:
+    %stack (z, ret) -> (ret, z)
+    JUMP
+
+// (ret) -> (): recover the sender entirely in-kernel from the parsed
+// signature and store it as TXN_FIELD_ORIGIN; an invalid signature can
+// never reach the halt label (PANIC), so no proof exists for it
+GLOBAL recover_sender:
+    PUSH rs_hashed
+    PUSH compute_type0_sighash
+    JUMP
+rs_hashed:
+    // z, ret
+    %mload_txn_field(@TXN_FIELD_Y_PARITY)
+    %stack (p) -> (p, 27)
+    ADD
+    // v, z, ret
+    %mload_txn_field(@TXN_FIELD_R)
+    %mload_txn_field(@TXN_FIELD_S)
+    // s, r, v, z, ret
+    %stack (s, r, v, z) -> (z, v, r, s, rs_done)
+    PUSH ecrecover
+    JUMP
+rs_done:
+    // addr, ret
+    DUP1
+    PUSH @U256_MAX
+    EQ
+    PUSH rs_invalid
+    JUMPI
+    %mstore_txn_field(@TXN_FIELD_ORIGIN)
+    JUMP
+rs_invalid:
     PANIC
 """

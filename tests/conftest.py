@@ -12,10 +12,15 @@ if "xla_force_host_platform_device_count" not in flags:
 # Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel
 # (axon) via a sitecustomize hook that also sets the jax config directly, so
 # both the env var AND the config must be overridden before first backend use.
-os.environ["JAX_PLATFORMS"] = "cpu"
-import jax  # noqa: E402
+# PLONKY2_TPU_TEST_PLATFORM=ambient keeps the real platform (for the
+# tpu-gated kernel-parity tests).
+if os.environ.get("PLONKY2_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax  # noqa: E402
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)

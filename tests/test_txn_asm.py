@@ -28,9 +28,12 @@ PARSE_TXN = bytes.fromhex(
 
 
 def _kernel(extra: str):
+    from plonky2_tpu.evm.kernel.asm_util import UTIL_ASM
+    from plonky2_tpu.evm.secp_asm import SECP_ASM
     consts = dict(evm_constants())
     consts.update(txn_field_constants())
-    return assemble([parse(TXN_ASM + extra)], consts, optimize=False)
+    return assemble([parse(TXN_ASM + extra), parse(UTIL_ASM),
+                     parse(SECP_ASM)], consts, optimize=False)
 
 
 @pytest.fixture(scope="module")
