@@ -64,6 +64,68 @@ def _ntt_along_axis0(a, n1: int, inverse: bool):
     return jnp.swapaxes(out[0], 0, 1), jnp.swapaxes(out[1], 0, 1)
 
 
+def _pallas_tile(n1: int) -> int:
+    """Lane-tile width keeping ~10 live (n1, tile) u32 arrays in VMEM."""
+    return min(512, max(128, (1 << 18) // n1))
+
+
+def _pallas_cols_ok(n1: int, n2: int) -> bool:
+    """Route the column transforms through the fused Pallas kernel: real
+    TPU, unsharded (a pallas_call is opaque to the SPMD partitioner), and
+    lane counts that tile cleanly."""
+    from ..ops import ntt_pallas as ntp
+    from ..runtime import meshctx
+    return (ntp.enabled() and meshctx.active_mesh() is None
+            and 8 <= n1 <= 4096 and n2 % 128 == 0)
+
+
+def _four_step_pallas(coeffs, inverse: bool, n1: int):
+    """Four-step schedule with BOTH column-NTT steps as fused VMEM Pallas
+    kernels (ops/ntt_pallas.py) — bit-identical outputs, one HBM round
+    trip per step instead of one per butterfly stage.  Handles a leading
+    batch axis natively (the kernel grids over it; no vmap-of-pallas)."""
+    from ..ops import ntt_pallas as ntp
+
+    lead = coeffs[0].shape[:-1]
+    n = coeffs[0].shape[-1]
+    n2 = n // n1
+    interp = ntp.interpret_mode()
+    x = (coeffs[0].reshape(*lead, n1, n2), coeffs[1].reshape(*lead, n1, n2))
+    a = ntp.ntt_cols_pallas(x, inverse, tile=_pallas_tile(n1),
+                            interpret=interp)
+    tw = _step2_twiddles_built(n1, n2, inverse) if n >= (1 << 12) else \
+        _step2_twiddles(n1, n2, inverse)
+    a = gf.mul(a, tw)
+    at = (jnp.swapaxes(a[0], -1, -2), jnp.swapaxes(a[1], -1, -2))
+    b = ntp.ntt_cols_pallas(at, inverse, tile=_pallas_tile(n2),
+                            interpret=interp)
+    out = (b[0].reshape(*lead, n), b[1].reshape(*lead, n))
+    if inverse:
+        out = gf.mul_const(out, gl.s_inv(n))
+    return out
+
+
+def _four_step_zero_tail_pallas(prefix, rate_bits: int, n1: int):
+    from ..ops import ntt_pallas as ntp
+
+    lead = prefix[0].shape[:-1]
+    q = prefix[0].shape[-1]
+    m = q << rate_bits
+    n2 = m // n1
+    interp = ntp.interpret_mode()
+    x = (prefix[0].reshape(*lead, n1 >> rate_bits, n2),
+         prefix[1].reshape(*lead, n1 >> rate_bits, n2))
+    a = ntp.ntt_cols_zero_tail_pallas(x, rate_bits, tile=_pallas_tile(n1),
+                                      interpret=interp)
+    tw = _step2_twiddles_built(n1, n2, False) if m >= (1 << 12) else \
+        _step2_twiddles(n1, n2, False)
+    a = gf.mul(a, tw)
+    at = (jnp.swapaxes(a[0], -1, -2), jnp.swapaxes(a[1], -1, -2))
+    b = ntp.ntt_cols_pallas(at, False, tile=_pallas_tile(n2),
+                            interpret=interp)
+    return b[0].reshape(*lead, m), b[1].reshape(*lead, m)
+
+
 def four_step_ntt(coeffs, inverse: bool = False, n1: int | None = None,
                   shard_axis: str | None = None):
     """coeffs: (n,) pair -> (n,) pair of evaluations in natural order.
@@ -77,6 +139,9 @@ def four_step_ntt(coeffs, inverse: bool = False, n1: int | None = None,
     if n1 is None:
         n1 = 1 << (bits // 2)
     n2 = n // n1
+    if shard_axis is None and _pallas_cols_ok(n1, n2) \
+            and _pallas_cols_ok(n2, n1):
+        return _four_step_pallas(coeffs, inverse, n1)
 
     x = (coeffs[0].reshape(n1, n2), coeffs[1].reshape(n1, n2))
 
@@ -111,7 +176,14 @@ def four_step_ntt(coeffs, inverse: bool = False, n1: int | None = None,
 
 def batched_four_step_ntt(coeffs, inverse: bool = False,
                           shard_axis: str | None = None):
-    """(B, n) pair -> (B, n) pair via vmap over the batch."""
+    """(B, n) pair -> (B, n) pair via vmap over the batch (XLA path) or a
+    batch grid dimension (Pallas path)."""
+    n = coeffs[0].shape[-1]
+    n1 = 1 << (log2_strict(n) // 2)
+    n2 = n // n1
+    if shard_axis is None and _pallas_cols_ok(n1, n2) \
+            and _pallas_cols_ok(n2, n1):
+        return _four_step_pallas(coeffs, inverse, n1)
     fn = functools.partial(four_step_ntt, inverse=inverse,
                            shard_axis=shard_axis)
     return jax.vmap(lambda lo, hi: fn((lo, hi)))(coeffs[0], coeffs[1])
@@ -133,6 +205,8 @@ def four_step_zero_tail_ntt(prefix, rate_bits: int):
     if n1 < (1 << r):
         n1 = 1 << r
     n2 = m // n1
+    if _pallas_cols_ok(n1, n2) and _pallas_cols_ok(n2, n1):
+        return _four_step_zero_tail_pallas(prefix, r, n1)
     # padded[j1*n2 + j2]: rows j1 >= n1/2^r are zero
     x = (prefix[0].reshape(n1 >> r, n2), prefix[1].reshape(n1 >> r, n2))
     # step 1: zero-tail size-n1 NTTs down the columns
@@ -150,6 +224,13 @@ def four_step_zero_tail_ntt(prefix, rate_bits: int):
 
 
 def batched_four_step_zero_tail_ntt(prefix, rate_bits: int):
-    """(B, q) pair -> (B, q*2^rate_bits) pair via vmap over the batch."""
+    """(B, q) pair -> (B, q*2^rate_bits) pair via vmap over the batch
+    (XLA) or a batch grid dimension (Pallas)."""
+    if rate_bits:
+        m = prefix[0].shape[-1] << rate_bits
+        n1 = max(1 << (log2_strict(m) // 2), 1 << rate_bits)
+        n2 = m // n1
+        if _pallas_cols_ok(n1, n2) and _pallas_cols_ok(n2, n1):
+            return _four_step_zero_tail_pallas(prefix, rate_bits, n1)
     fn = functools.partial(four_step_zero_tail_ntt, rate_bits=rate_bits)
     return jax.vmap(lambda lo, hi: fn((lo, hi)))(prefix[0], prefix[1])
