@@ -7,7 +7,7 @@ N*K devices, and runs the COMPLETE sharded plonky2 proof (device witness
 plan, sharded commits with the four-step NTT's all-to-alls, compiled
 quotient program, fused device-Fiat-Shamir FRI) through the unmodified
 prover under `mesh_sharding`.  Every process executes the same SPMD
-program; process 0 verifies the proof and writes MULTIPROC_r03.json.
+program; process 0 verifies the proof and writes MULTIPROC_r04.json.
 
 BASELINE.md target addressed: ">= 75% scaling at N >= 2 hosts" cannot be
 *measured* without real multi-host ICI/DCN, but the sharded program
@@ -39,11 +39,18 @@ def worker(pid: int, log2_leaves: int) -> None:
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{PORT}",
                                num_processes=N_PROC, process_id=pid)
-    # NO persistent compile cache here: with a shared cache one worker
-    # cache-hits entries the other just wrote and races ahead by whole
-    # compile times, blowing gloo's fixed ~30 s collective-rendezvous
-    # window.  Compiling everything in both processes keeps them in
-    # lockstep (the OS timeshares the core fairly across identical work).
+    # Dedicated persistent compile cache (separate from the TPU/test
+    # caches): on a 1-core box a fresh-cache attempt can fail when one
+    # worker cache-hits an entry the other just wrote and races ahead of
+    # gloo's ~30 s collective-rendezvous window — but every attempt
+    # extends the cache monotonically, and a fully-cached attempt replays
+    # both workers in lockstep.  Without any cache, each retry recompiles
+    # the whole prover twice per process and a 2-process run needs >50
+    # minutes of compile before its first chance to succeed.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache_mp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     from jax.sharding import Mesh
 
     from plonky2_tpu.models.hash_tree import build_hash_tree_circuit
@@ -69,7 +76,7 @@ def worker(pid: int, log2_leaves: int) -> None:
                 "verified": True,
                 "prove_seconds_including_compile": round(dt, 1),
             }}
-        with open(os.path.join(REPO, "MULTIPROC_r03.json"), "w") as f:
+        with open(os.path.join(REPO, "MULTIPROC_r04.json"), "w") as f:
             json.dump(out, f, indent=1)
         print(json.dumps(out), flush=True)
 
