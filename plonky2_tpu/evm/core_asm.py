@@ -81,6 +81,78 @@ jda_done:
     %stack (i, ctx, len, ret) -> (ret)
     JUMP
 
+// (a, b, ret) -> (a^b mod 2^256): square-and-multiply; the EXP syscall's
+// kernel routine (spec: cpu/kernel/tests/exp.rs — must agree with the
+// EVM opcode semantics for all operands incl. 0^0 = 1)
+GLOBAL exp:
+    %stack (a, b) -> (b, a, 1)
+    // b, base, acc, ret
+exp_loop:
+    DUP1
+    ISZERO
+    PUSH exp_done
+    JUMPI
+    DUP1
+    PUSH 1
+    AND
+    ISZERO
+    PUSH exp_skip
+    JUMPI
+    // acc *= base
+    DUP2
+    DUP4
+    MUL
+    SWAP3
+    POP
+exp_skip:
+    // b, base, acc, ret
+    SWAP1
+    DUP1
+    MUL
+    SWAP1
+    // b, base², acc, ret
+    %stack (b) -> (b, 2)
+    DIV
+    PUSH exp_loop
+    JUMP
+exp_done:
+    %stack (b, base, acc, ret) -> (ret, acc)
+    JUMP
+
+// (ctx, seg, off, len, ret) -> (value): pack len big-endian bytes from
+// (ctx, seg)[off..off+len) into one word (spec: tests/packing.rs)
+GLOBAL mload_packing:
+    PUSH 0
+    // acc, ctx, seg, off, len, ret
+mlp_loop:
+    DUP5
+    ISZERO
+    PUSH mlp_done
+    JUMPI
+    DUP4
+    DUP4
+    DUP4
+    MLOAD_GENERAL
+    // b, acc, ctx, seg, off, len, ret
+    SWAP1
+    %stack (acc) -> (256, acc)
+    MUL
+    ADD
+    // acc', ctx, seg, off, len, ret
+    SWAP3
+    %stack (off) -> (off, 1)
+    ADD
+    SWAP3
+    SWAP4
+    %stack (len) -> (len, 1)
+    SUB
+    SWAP4
+    PUSH mlp_loop
+    JUMP
+mlp_done:
+    %stack (acc, ctx, seg, off, len, ret) -> (ret, acc)
+    JUMP
+
 // (sender, nonce, ret) -> (addr): keccak(rlp([sender, nonce]))[12:]
 GLOBAL get_create_address:
     // payload builds at KernelGeneral2[109..): 0x94 + 20 sender bytes,

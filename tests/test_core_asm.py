@@ -38,6 +38,38 @@ def test_jumpdest_analysis(kernel):
     assert bits == expected
 
 
+def test_exp(kernel):
+    """tests/exp.rs: kernel exp == EVM EXP semantics (random + edges)."""
+    import random
+    rng = random.Random(3)
+    U = (1 << 256) - 1
+    cases = [(rng.getrandbits(256), rng.getrandbits(256)) for _ in range(4)]
+    cases += [(0, 5), (7, 0), (0, 0), (2, 256), (U, 2)]
+    for a, b in cases:
+        st = run_with_kernel(
+            kernel, kernel.global_labels["exp"],
+            [kernel.global_labels["test_halt"], b, a],
+            halt_offsets=[kernel.global_labels["test_halt"]],
+            max_steps=2_000_000)
+        assert st.stack == [pow(a, b, 1 << 256)], (a, b)
+
+
+def test_mload_packing(kernel):
+    """tests/packing.rs vectors: 1 byte, 3 bytes, 32 bytes."""
+    seg = int(Segment.RlpRaw)
+    data = [0, 0, 0xAB, 0xCD, 0xEF] + list(range(1, 33))
+    segmem = {(0, seg, i): b for i, b in enumerate(data)}
+    for off, ln, want in [(2, 1, 0xAB), (2, 3, 0xABCDEF),
+                          (5, 32, int.from_bytes(bytes(range(1, 33)),
+                                                 "big"))]:
+        st = run_with_kernel(
+            kernel, kernel.global_labels["mload_packing"],
+            [kernel.global_labels["test_halt"], ln, off, seg, 0],
+            segmem=segmem,
+            halt_offsets=[kernel.global_labels["test_halt"]])
+        assert st.stack == [want], (off, ln)
+
+
 def test_get_create_address(kernel):
     sender = 0x6AC7EA33F8831EA9DCC53393AAA88B25A785DBF0
     for nonce in (0, 1, 0x7F, 0x80, 12345):
