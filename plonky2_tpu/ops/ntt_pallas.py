@@ -41,6 +41,19 @@ from ..field import gf_jax as gf
 from ..utils.bits import log2_strict
 
 
+def _compiler_params(interpret: bool):
+    """Raise Mosaic's scoped-VMEM ceiling (default 16 MB) for the fused
+    butterfly network: with all log2(n1) stages unrolled over an
+    (n1, tile) u32 block, ~20 live block-sized temporaries exist at peak,
+    and at the flagship shapes (n1 or n2 = 2048 rows for a 2^21 LDE with
+    the minimum 128-lane tile) that peak cannot fit 16 MB at ANY legal
+    tile.  v5e has 128 MB of VMEM; 100 MB leaves double-buffer headroom."""
+    if interpret:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 @functools.lru_cache(maxsize=None)
 def _full_twiddle_table(n1: int, inverse: bool):
     """(n1, bits) u32 pair: column s is the stage-s twiddle broadcast to
@@ -118,6 +131,7 @@ def ntt_cols_pallas(a, inverse: bool = False, tile: int = 256,
         out_specs=(blk, blk),
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(jnp.asarray(tlo_np), jnp.asarray(thi_np), lo, hi)
     if squeeze:
         return out_lo[0], out_hi[0]
@@ -184,6 +198,7 @@ def ntt_cols_zero_tail_pallas(prefix, rate_bits: int, tile: int = 256,
         out_specs=(outblk, outblk),
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(jnp.asarray(tlo_np), jnp.asarray(thi_np), lo, hi)
     if squeeze:
         return out_lo[0], out_hi[0]
