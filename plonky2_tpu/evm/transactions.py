@@ -5,11 +5,12 @@ post-transaction tries.
 Reference correspondence: the kernel asm `process_txn.asm` /
 `transaction_parsing` routines (sources absent from the reference tree;
 spec'd by cpu/kernel/tests/transaction_parsing/parse_type_0_txn.rs) parse
-the RLP in-kernel — mirrored by the asm in evm/txn_asm.py — while sender
-recovery is the kernel's ecrecover.asm; here recovery runs host-side
-(ecdsa/curve.py ecrecover) and enters the kernel as a PROVER_INPUT, with
-the recovered address documented as prover-supplied (the in-kernel
-secp256k1 routine library is future work).
+the RLP in-kernel — mirrored by the asm in evm/txn_asm.py — and sender
+recovery (the kernel's ecrecover.asm) runs IN-KERNEL via evm/secp_asm.py
+when block.py assembles the block kernel with ``inkernel_ecrecover=True``.
+The host-side ecrecover here (ecdsa/curve.py) remains for unit-scale
+proofs that opt into the cheaper PROVER_INPUT splice and as the oracle
+the in-kernel routine is tested against.
 
 Semantics of `apply_transactions` follow the reference's
 transfer_to_new_addr expectation (evm/tests/transfer_to_new_addr.rs:76-84):

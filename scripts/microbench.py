@@ -78,6 +78,17 @@ def main():
     sponge_j = jax.jit(pj.hash_leaves_cols)
     timed(f"sponge_{L}x2^18", sponge_j, leaves, unit_elems=C)
 
+    # --- leaf sponge, Pallas kernel (same shape) --------------------------
+    try:
+        from plonky2_tpu.hash import poseidon_pallas as pp
+        if pp.sponge_enabled():
+            sponge_p = jax.jit(functools.partial(
+                pp.hash_leaves_cols_pallas, tile=512))
+            timed(f"sponge_pallas_{L}x2^18", sponge_p, leaves, unit_elems=C)
+    except Exception as e:  # pragma: no cover - informational only
+        print(json.dumps({"name": "sponge_pallas", "error": str(e)}),
+              flush=True)
+
     # --- merkle compress one level (4, 2^20) -> (4, 2^19) ----------------
     D = 1 << 20
     dig = (jnp.asarray(rng.integers(0, 2**32, (4, D), dtype=np.uint32)),
