@@ -44,9 +44,16 @@ def main():
     config = CircuitConfig.wide_ecc_config()
     cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               f".bench_cache/hash_tree_k{log2_leaves}.pkl")
+    # pin the digest of the git-tracked flagship blob before pickle.load
+    # (arbitrary-code-execution vector if tampered); other cache shapes are
+    # local-only scratch and load unpinned
+    PINNED = {"hash_tree_k17.pkl":
+              "ec7e94f7288e5c0b2b2a021ae34aabfd7dfced0f1e1c38782e5e057fe3381f58"}
     t0 = time.perf_counter()
     from plonky2_tpu.utils.circuit_cache import load_circuit, save_circuit
-    cached = load_circuit(cache_path, use_device=on_accel)
+    cached = load_circuit(cache_path, use_device=on_accel,
+                          expect_sha256=PINNED.get(
+                              os.path.basename(cache_path)))
     if cached is not None:
         data, (pw, root) = cached
     else:

@@ -7,7 +7,8 @@ Reference correspondence: the kernel asm `process_txn.asm` /
 spec'd by cpu/kernel/tests/transaction_parsing/parse_type_0_txn.rs) parse
 the RLP in-kernel — mirrored by the asm in evm/txn_asm.py — and sender
 recovery (the kernel's ecrecover.asm) runs IN-KERNEL via evm/secp_asm.py
-when block.py assembles the block kernel with ``inkernel_ecrecover=True``.
+when block.py assembles the block kernel with ``in_kernel_ecrecover=True``
+(the default at block scale).
 The host-side ecrecover here (ecdsa/curve.py) remains for unit-scale
 proofs that opt into the cheaper PROVER_INPUT splice and as the oracle
 the in-kernel routine is tested against.

@@ -203,8 +203,30 @@ def reduce128(r0, r1, r2, r3) -> GF:
     return _canon(lo2, hi2)
 
 
+def reduce128_nc(r0, r1, r2, r3) -> GF:
+    """reduce128 WITHOUT the final canonicalizing subtract: result < 2^64
+    and ≡ value (mod p), but may exceed p.  Safe wherever the consumer
+    accepts any 64-bit representative (mul_wide/square_wide/add_nc/the
+    byte-plane MDS decomposition); do NOT feed comparisons or outputs that
+    must be canonical."""
+    t0_lo, t0_hi, borrow = sub64((r0, r1), (r3, _ZERO * r3))
+    t0_lo2 = t0_lo - (borrow * _EPS)
+    t0_hi2 = t0_hi - (t0_lo < t0_lo2).astype(U32)
+    t1_lo = _ZERO - r2
+    t1_hi = r2 - (r2 != 0).astype(U32)
+    lo, hi, carry = add64((t0_lo2, t0_hi2), (t1_lo, t1_hi))
+    lo2 = lo + (carry * _EPS)
+    hi2 = hi + _carry(lo2, lo)
+    return lo2, hi2
+
+
 def mul(a: GF, b: GF) -> GF:
     return reduce128(*mul_wide(a, b))
+
+
+def mul_nc(a: GF, b: GF) -> GF:
+    """Multiply, result a (possibly non-canonical) 64-bit representative."""
+    return reduce128_nc(*mul_wide(a, b))
 
 
 def add_nc(a: GF, b: GF) -> GF:
@@ -242,6 +264,10 @@ def square_wide(a: GF):
 
 def square(a: GF) -> GF:
     return reduce128(*square_wide(a))
+
+
+def square_nc(a: GF) -> GF:
+    return reduce128_nc(*square_wide(a))
 
 
 def mul_const(a: GF, c: int) -> GF:

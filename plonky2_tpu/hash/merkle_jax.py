@@ -20,10 +20,12 @@ from ..utils.bits import log2_strict
 from . import poseidon_jax as pj
 
 # narrowest batch worth a Pallas dispatch; below it the XLA sponge wins.
-# tile 512 measured fastest (280 ms vs 322 ms at 1024 for a (234, 2^17)
-# sponge; 2048+ blows the 16 MB VMEM scoped limit)
+# v2 naive-schedule kernel (round 5): tile 2048 measured fastest
+# (27.9 M perms/s vs 26.3 at 512; the v1 fast-schedule kernel preferred
+# 512).  Leaf block at 2048 lanes = (234, 2048) x 8 B = 3.8 MB — well
+# inside VMEM.
 _MIN_PALLAS_N = 1 << 11
-_PALLAS_TILE = 1 << 9
+_PALLAS_TILE = 1 << 11
 
 
 def _pallas_mode():

@@ -246,111 +246,283 @@ def poseidon_fast_t_unrolled(state, use_mxu: bool = False):
                         jnp.asarray(m8), use_mxu)
 
 
+# ---------------------------------------------------------------------------
+# v2 permutation: NAIVE round schedule + one block-diagonal (96,96) int8
+# MXU matmul per MDS layer.
+#
+# Round-5 microbench (MICROBENCH_r05.json, real v5e): the v1 kernel's eight
+# (12,12)x(12,T) int8 matmuls run at 342 M MDS/s — each tiny matmul pays a
+# full padded MXU pass — while ONE (96,96)x(96,T) block-diagonal matmul
+# (the 8 byte-planes stacked on sublanes) hits 5 521 M MDS/s, 16x.  With
+# the MDS that cheap, the fast partial-round schedule (22 rounds of
+# VPU-heavy w_hat/vs dot products + an init matrix with arbitrary-u64
+# entries that can't ride the MXU) loses to the NAIVE schedule: rc add +
+# one-row sbox + full MXU MDS per partial round.  Intermediate values stay
+# NON-canonical 64-bit representatives (gf.*_nc) — the byte-plane
+# decomposition and mul/add consumers accept any representative, so the
+# canonicalizing subtract happens once, on the digest rows.
+#
+# Outputs are bit-identical to the fast schedule (exact modular arithmetic
+# has one answer; the numpy oracle poseidon.poseidon IS the naive
+# schedule), mirroring cuda/def.cuh:701-780's permute_poseidon contract.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1)
+def _naive_tables():
+    """rc (12, 30) u32 pair; blockdiag (96, 96) int8 MDS; offs (96, 1) i32.
+
+    Plane values p in [0,255] ride as (p-128) int8; offs = 128*rowsum(M)
+    corrects the offset after the matmul (plane sums then < 2^16)."""
+    rc = pos.ALL_ROUND_CONSTANTS.reshape(pos.N_ROUNDS, WIDTH).T
+    rlo = (rc & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    rhi = (rc >> np.uint64(32)).astype(np.uint32)
+    mds = pos.MDS_MATRIX.astype(np.int64)
+    m96 = np.kron(np.eye(8, dtype=np.int64), mds)
+    offs = (128 * m96.sum(axis=1)).astype(np.int32)[:, None]
+    return rlo, rhi, m96.astype(np.int8), offs
+
+
+def _sbox_nc(x):
+    x2 = gf.square_nc(x)
+    x3 = gf.mul_nc(x2, x)
+    return gf.mul_nc(x3, gf.square_nc(x2))
+
+
+def _mds96(state, m96, offs):
+    """MDS via ONE (96,96)x(96,B) int8 MXU matmul over 8-bit planes.
+
+    Accepts any 64-bit representative; returns a non-canonical one."""
+    lo, hi = state
+
+    def planes(x):
+        out = []
+        for s in (0, 8, 16, 24):
+            v = (x >> np.uint32(s)) if s else x
+            v = (v & np.uint32(0xFF)).astype(jnp.int32) - 128
+            out.append(v.astype(jnp.int8))
+        return out
+
+    big = jnp.concatenate(planes(lo) + planes(hi), axis=0)   # (96, B) int8
+    t = (jnp.matmul(m96, big, preferred_element_type=jnp.int32)
+         + offs).astype(jnp.uint32)                          # (96, B) < 2^16
+    W = WIDTH
+    ts = [t[k * W:(k + 1) * W] for k in range(8)]
+    return _recombine16_nc(ts[0] + (ts[1] << 8), ts[2] + (ts[3] << 8),
+                           ts[4] + (ts[5] << 8), ts[6] + (ts[7] << 8))
+
+
+def _recombine16_nc(t0, t1, t2, t3):
+    """Four u32 16-bit-limb partial sums -> non-canonical GF pair."""
+    c0 = t0 & _M16
+    r = t0 >> 16
+    s = t1 + r
+    c1 = s & _M16
+    r = s >> 16
+    s = t2 + r
+    c2 = s & _M16
+    r = s >> 16
+    s = t3 + r
+    c3 = s & _M16
+    r = s >> 16
+    c4 = r & _M16
+    c5 = r >> 16
+    s0 = c0 | (c1 << 16)
+    s1 = c2 | (c3 << 16)
+    s2 = c4 | (c5 << 16)
+    return gf.reduce128_nc(s0, s1, s2, jnp.zeros_like(s2))
+
+
+def _perm_naive(state, rlo, rhi, m96, offs):
+    """Naive-schedule permutation on a (12, B) GF pair of 64-bit
+    representatives; returns a NON-canonical pair (canonicalize digests
+    with gf._canon)."""
+    def rc_col(r):
+        return rlo[:, r:r + 1], rhi[:, r:r + 1]
+
+    r = 0
+    for _ in range(HALF):
+        state = _mds96(_sbox_nc(gf.add_nc(state, rc_col(r))), m96, offs)
+        r += 1
+    for _ in range(NPR):
+        state = gf.add_nc(state, rc_col(r))
+        r += 1
+        s0 = _sbox_nc((state[0][0:1], state[1][0:1]))
+        state = (jnp.concatenate([s0[0], state[0][1:]], axis=0),
+                 jnp.concatenate([s0[1], state[1][1:]], axis=0))
+        state = _mds96(state, m96, offs)
+    for _ in range(HALF):
+        state = _mds96(_sbox_nc(gf.add_nc(state, rc_col(r))), m96, offs)
+        r += 1
+    return state
+
+
+def _perm_naive_multi(states, rlo, rhi, m96, offs):
+    """Naive-schedule permutation on SEVERAL independent (12, B) state
+    pairs, rounds interleaved in program order so Mosaic can overlap one
+    chain's MXU matmul with another's VPU s-box (each chain alone is a
+    strict sbox->MDS dependency chain that leaves one unit idle)."""
+    def rc_col(r):
+        return rlo[:, r:r + 1], rhi[:, r:r + 1]
+
+    states = list(states)
+    r = 0
+    for _ in range(HALF):
+        c = rc_col(r)
+        states = [_mds96(_sbox_nc(gf.add_nc(s, c)), m96, offs)
+                  for s in states]
+        r += 1
+    for _ in range(NPR):
+        c = rc_col(r)
+        r += 1
+        nxt = []
+        for s in states:
+            s = gf.add_nc(s, c)
+            s0 = _sbox_nc((s[0][0:1], s[1][0:1]))
+            nxt.append((jnp.concatenate([s0[0], s[0][1:]], axis=0),
+                        jnp.concatenate([s0[1], s[1][1:]], axis=0)))
+        states = [_mds96(s, m96, offs) for s in nxt]
+    for _ in range(HALF):
+        c = rc_col(r)
+        states = [_mds96(_sbox_nc(gf.add_nc(s, c)), m96, offs)
+                  for s in states]
+        r += 1
+    return states
+
+
+def poseidon_naive_t(state):
+    """Trace-level v2 entry (parity tests): canonical in/out, bit-identical
+    to poseidon_jax.poseidon_t / the numpy oracle."""
+    rlo, rhi, m96, offs = _naive_tables()
+    out = _perm_naive(state, jnp.asarray(rlo), jnp.asarray(rhi),
+                      jnp.asarray(m96), jnp.asarray(offs))
+    return gf._canon(*out)
+
+
 def hash_leaves_cols_pallas(leaves, tile: int = 1024,
-                            interpret: bool = False):
+                            interpret: bool = False, chains: int = 2):
     """leaves (L, N) pair -> (4, N) digest pair, one Pallas kernel.
 
     Grid walks lane tiles of the leaf batch; each step stages an (L, tile)
     leaf block into VMEM, absorbs the L//8 full rate blocks plus remainder
-    with the state held on-chip, and writes the (4, tile) digests."""
+    with the state held on-chip (v2 naive-schedule permutation, one
+    blockdiag-96 int8 MXU matmul per MDS), and writes the (4, tile)
+    digests.  ``chains`` independent lane sub-tiles run with their rounds
+    interleaved so the MXU (MDS) and VPU (s-box) overlap."""
     from jax.experimental import pallas as pl
 
     lo, hi = leaves
     L, N = lo.shape
     assert N % tile == 0, (N, tile)
+    assert tile % chains == 0, (tile, chains)
+    sub = tile // chains
     full, rem = divmod(L, RATE)
-    # int8 matmul is exact integer math on every backend (MXU on TPU,
-    # plain matmul under interpret) — and the matmul form keeps the
-    # interpret-mode XLA graph small
-    use_mxu = True
 
-    def kernel(tlo_ref, thi_ref, m8_ref, lo_ref, hi_ref,
+    def kernel(rlo_ref, rhi_ref, m96_ref, offs_ref, lo_ref, hi_ref,
                out_lo_ref, out_hi_ref):
-        tlo = tlo_ref[...]
-        thi = thi_ref[...]
-        m8 = m8_ref[...]
-        state = gf.zeros((WIDTH, tile))
+        rlo = rlo_ref[...]
+        rhi = rhi_ref[...]
+        m96 = m96_ref[...]
+        offs = offs_ref[...]
 
-        def absorb(k, st):
-            block = (lo_ref[pl.ds(k * RATE, RATE), :],
-                     hi_ref[pl.ds(k * RATE, RATE), :])
-            st = (jnp.concatenate([block[0], st[0][RATE:]], axis=0),
-                  jnp.concatenate([block[1], st[1][RATE:]], axis=0))
-            return _perm_tables(st, tlo, thi, m8, use_mxu)
+        def lanes(ref, r0, nr, c):
+            return ref[pl.ds(r0, nr), pl.ds(c * sub, sub)]
 
+        def absorb(k, sts):
+            sts = [(jnp.concatenate([lanes(lo_ref, k * RATE, RATE, c),
+                                     sts[c][0][RATE:]], axis=0),
+                    jnp.concatenate([lanes(hi_ref, k * RATE, RATE, c),
+                                     sts[c][1][RATE:]], axis=0))
+                   for c in range(chains)]
+            return tuple(_perm_naive_multi(sts, rlo, rhi, m96, offs))
+
+        states = tuple(gf.zeros((WIDTH, sub)) for _ in range(chains))
         if full:
-            state = jax.lax.fori_loop(0, full, absorb, state)
+            states = jax.lax.fori_loop(0, full, absorb, states)
         if rem:
-            state = (jnp.concatenate([lo_ref[L - rem:L, :],
-                                      state[0][rem:]], axis=0),
-                     jnp.concatenate([hi_ref[L - rem:L, :],
-                                      state[1][rem:]], axis=0))
-            state = _perm_tables(state, tlo, thi, m8, use_mxu)
-        out_lo_ref[...] = state[0][:4]
-        out_hi_ref[...] = state[1][:4]
+            states = [(jnp.concatenate([lanes(lo_ref, L - rem, rem, c),
+                                        states[c][0][rem:]], axis=0),
+                       jnp.concatenate([lanes(hi_ref, L - rem, rem, c),
+                                        states[c][1][rem:]], axis=0))
+                      for c in range(chains)]
+            states = _perm_naive_multi(states, rlo, rhi, m96, offs)
+        dig = [gf._canon(s[0][:4], s[1][:4]) for s in states]
+        out_lo_ref[...] = jnp.concatenate([d[0] for d in dig], axis=1)
+        out_hi_ref[...] = jnp.concatenate([d[1] for d in dig], axis=1)
 
-    tlo_np, thi_np, m8_np = _packed_tables()
+    rlo_np, rhi_np, m96_np, offs_np = _naive_tables()
     out_shape = (jax.ShapeDtypeStruct((4, N), jnp.uint32),
                  jax.ShapeDtypeStruct((4, N), jnp.uint32))
     out_lo, out_hi = pl.pallas_call(
         kernel,
         grid=(N // tile,),
-        in_specs=[pl.BlockSpec((WIDTH, _TW), lambda i: (0, 0)),
-                  pl.BlockSpec((WIDTH, _TW), lambda i: (0, 0)),
-                  pl.BlockSpec((WIDTH, WIDTH), lambda i: (0, 0)),
+        in_specs=[pl.BlockSpec((WIDTH, pos.N_ROUNDS), lambda i: (0, 0)),
+                  pl.BlockSpec((WIDTH, pos.N_ROUNDS), lambda i: (0, 0)),
+                  pl.BlockSpec((96, 96), lambda i: (0, 0)),
+                  pl.BlockSpec((96, 1), lambda i: (0, 0)),
                   pl.BlockSpec((L, tile), lambda i: (0, i)),
                   pl.BlockSpec((L, tile), lambda i: (0, i))],
         out_specs=(pl.BlockSpec((4, tile), lambda i: (0, i)),
                    pl.BlockSpec((4, tile), lambda i: (0, i))),
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(tlo_np), jnp.asarray(thi_np), jnp.asarray(m8_np), lo, hi)
+    )(jnp.asarray(rlo_np), jnp.asarray(rhi_np), jnp.asarray(m96_np),
+      jnp.asarray(offs_np), lo, hi)
     return out_lo, out_hi
 
 
 def compress_pairs_cols_pallas(left, right, tile: int = 1024,
-                               interpret: bool = False):
+                               interpret: bool = False, chains: int = 2):
     """One Merkle level: left/right child digests ((4, m) pairs, already
     de-interleaved by the caller — Mosaic has no strided lane slice) ->
-    (4, m) parent pair, one permutation per node."""
+    (4, m) parent pair, one v2 permutation per node; ``chains`` lane
+    sub-tiles interleaved for MXU/VPU overlap."""
     from jax.experimental import pallas as pl
 
     m = left[0].shape[1]
     t = min(tile, m)
-    use_mxu = True
+    ch = chains if t % chains == 0 else 1
+    sub = t // ch
 
-    def kernel(tlo_ref, thi_ref, m8_ref, llo_ref, lhi_ref, rlo_ref, rhi_ref,
+    def kernel(rlo_ref, rhi_ref, m96_ref, offs_ref,
+               llo_ref, lhi_ref, rglo_ref, rghi_ref,
                out_lo_ref, out_hi_ref):
-        tlo = tlo_ref[...]
-        thi = thi_ref[...]
-        m8 = m8_ref[...]
-        llo = llo_ref[...]
-        state = (jnp.concatenate(
-                    [llo, rlo_ref[...], jnp.zeros_like(llo)], axis=0),
-                 jnp.concatenate(
-                    [lhi_ref[...], rhi_ref[...],
-                     jnp.zeros_like(llo)], axis=0))
-        state = _perm_tables(state, tlo, thi, m8, use_mxu)
-        out_lo_ref[...] = state[0][:4]
-        out_hi_ref[...] = state[1][:4]
+        rlo = rlo_ref[...]
+        rhi = rhi_ref[...]
+        m96 = m96_ref[...]
+        offs = offs_ref[...]
+        states = []
+        for c in range(ch):
+            s = pl.ds(c * sub, sub)
+            llo = llo_ref[:, s]
+            states.append((jnp.concatenate(
+                               [llo, rglo_ref[:, s], jnp.zeros_like(llo)],
+                               axis=0),
+                           jnp.concatenate(
+                               [lhi_ref[:, s], rghi_ref[:, s],
+                                jnp.zeros_like(llo)], axis=0)))
+        states = _perm_naive_multi(states, rlo, rhi, m96, offs)
+        dig = [gf._canon(s[0][:4], s[1][:4]) for s in states]
+        out_lo_ref[...] = jnp.concatenate([d[0] for d in dig], axis=1)
+        out_hi_ref[...] = jnp.concatenate([d[1] for d in dig], axis=1)
 
-    tlo_np, thi_np, m8_np = _packed_tables()
+    rlo_np, rhi_np, m96_np, offs_np = _naive_tables()
     out_shape = (jax.ShapeDtypeStruct((4, m), jnp.uint32),
                  jax.ShapeDtypeStruct((4, m), jnp.uint32))
     half = pl.BlockSpec((4, t), lambda i: (0, i))
     out_lo, out_hi = pl.pallas_call(
         kernel,
         grid=(m // t,),
-        in_specs=[pl.BlockSpec((WIDTH, _TW), lambda i: (0, 0)),
-                  pl.BlockSpec((WIDTH, _TW), lambda i: (0, 0)),
-                  pl.BlockSpec((WIDTH, WIDTH), lambda i: (0, 0)),
+        in_specs=[pl.BlockSpec((WIDTH, pos.N_ROUNDS), lambda i: (0, 0)),
+                  pl.BlockSpec((WIDTH, pos.N_ROUNDS), lambda i: (0, 0)),
+                  pl.BlockSpec((96, 96), lambda i: (0, 0)),
+                  pl.BlockSpec((96, 1), lambda i: (0, 0)),
                   half, half, half, half],
         out_specs=(pl.BlockSpec((4, t), lambda i: (0, i)),
                    pl.BlockSpec((4, t), lambda i: (0, i))),
         out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray(tlo_np), jnp.asarray(thi_np), jnp.asarray(m8_np),
-      left[0], left[1], right[0], right[1])
+    )(jnp.asarray(rlo_np), jnp.asarray(rhi_np), jnp.asarray(m96_np),
+      jnp.asarray(offs_np), left[0], left[1], right[0], right[1])
     return out_lo, out_hi
 
 

@@ -36,10 +36,7 @@ def _commit_coeffs_core(coeffs, rate_bits: int, cap_height: int, salt=None):
 
     `salt` is an optional (4, lde) pair of blinding rows appended before
     hashing (reference oracle.rs:41 SALT_SIZE=4)."""
-    lde = jntt.lde_coset_ntt(coeffs, rate_bits)          # (B, lde_size)
-    lde_size = lde[0].shape[-1]
-    perm = jntt.bitrev_perm_auto(lde_size)
-    leaves = (lde[0][:, perm], lde[1][:, perm])          # (B, lde_size)
+    leaves = jntt.lde_coset_ntt_bitrev(coeffs, rate_bits)  # (B, lde_size)
     if salt is not None:
         leaves = (jnp.concatenate([leaves[0], salt[0]], axis=0),
                   jnp.concatenate([leaves[1], salt[1]], axis=0))
@@ -94,9 +91,7 @@ def _ntt_block_write(leaves_lo, leaves_hi, coeffs_lo, coeffs_hi, rate_bits,
         cblock = jntt.ntt(block, inverse=True)
     else:
         cblock = block
-    lde = jntt.lde_coset_ntt(cblock, rate_bits)
-    perm = jntt.bitrev_perm_auto(lde[0].shape[-1])
-    rows = (lde[0][:, perm], lde[1][:, perm])
+    rows = jntt.lde_coset_ntt_bitrev(cblock, rate_bits)
     leaves_lo = jax.lax.dynamic_update_slice(leaves_lo, rows[0], (b0, 0))
     leaves_hi = jax.lax.dynamic_update_slice(leaves_hi, rows[1], (b0, 0))
     coeffs_lo = jax.lax.dynamic_update_slice(coeffs_lo, cblock[0], (b0, 0))

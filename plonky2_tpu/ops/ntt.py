@@ -185,6 +185,48 @@ def lde_coset_ntt(coeffs, rate_bits: int,
                                twiddle_tables(m, False), rate_bits)
 
 
+def lde_coset_ntt_bitrev(coeffs, rate_bits: int,
+                         shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR):
+    """Coset LDE directly in BIT-REVERSED (Merkle-leaf) order:
+    == lde_coset_ntt(coeffs, rate_bits)[..., bitrev_perm(m)] bit-for-bit.
+
+    On the Pallas path the DIF column kernels emit bitrev order natively,
+    removing the flat m-element gather (0.44 G elems/s ≈ 1.2 s of the
+    flagship wires commit, MICROBENCH_r05.json)."""
+    n = coeffs[0].shape[-1]
+    m = n << rate_bits
+    if rate_bits and m >= (1 << 12) and coeffs[0].ndim in (1, 2):
+        sp = powers_dev(shift, n)
+        scaled = gf.mul(coeffs, sp)
+        from ..parallel.sharded_ntt import batched_four_step_zero_tail_bitrev
+        squeeze = scaled[0].ndim == 1
+        pair = (scaled[0][None], scaled[1][None]) if squeeze else scaled
+        out = batched_four_step_zero_tail_bitrev(pair, rate_bits)
+        if out is not None:
+            return (out[0][0], out[1][0]) if squeeze else out
+        lde = lde_coset_ntt_scaled_fallback(pair, rate_bits)
+        perm = bitrev_perm_auto(m)
+        out = (lde[0][..., perm], lde[1][..., perm])
+        return (out[0][0], out[1][0]) if squeeze else out
+    lde = lde_coset_ntt(coeffs, rate_bits, shift)
+    perm = bitrev_perm_auto(m)
+    return lde[0][..., perm], lde[1][..., perm]
+
+
+def lde_coset_ntt_scaled_fallback(scaled, rate_bits: int):
+    """Zero-tail NTT of already-shift-scaled coeffs (natural order out)."""
+    m = scaled[0].shape[-1] << rate_bits
+    if m >= (1 << 12):
+        from ..parallel.sharded_ntt import (batched_four_step_zero_tail_ntt,
+                                            four_step_zero_tail_ntt)
+        if scaled[0].ndim == 1:
+            return four_step_zero_tail_ntt(scaled, rate_bits)
+        if scaled[0].ndim == 2:
+            return batched_four_step_zero_tail_ntt(scaled, rate_bits)
+    return _ntt_core_zero_tail(scaled[0], scaled[1],
+                               twiddle_tables(m, False), rate_bits)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def ntt_jit(a, inverse: bool = False):
     return ntt(a, inverse)

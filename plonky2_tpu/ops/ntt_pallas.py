@@ -205,6 +205,89 @@ def ntt_cols_zero_tail_pallas(prefix, rate_bits: int, tile: int = 256,
     return out_lo, out_hi
 
 
+# ---------------------------------------------------------------------------
+# DIF (decimation-in-frequency) column kernels: NATURAL order in,
+# BIT-REVERSED order out — no input permutation, no output gather.
+#
+# Motivation (MICROBENCH_r05.json): the flat 2^21 bit-reversal gather that
+# converts the four-step NTT's natural-order LDE into Merkle-leaf order
+# runs at 0.44 G elems/s — ~1.2 s of the 6 s flagship wires commit.  The
+# commit only ever consumes the LDE in bit-reversed order, so producing it
+# directly is free: rev_n(j) for j = a*n2 + b splits as
+# leaves[a, b] = B2[rev_n1(a), rev_n2(b)], and a DIF network emits exactly
+# the rev-ordered rows (transposed flow graph of the DIT stages — the NTT
+# matrix is symmetric, so reversed-order transposed stages with the SAME
+# twiddle table compute bitrev(NTT(x))).
+#
+# DIF stage s (run s = bits-1 .. 0), pairs (i, i+2^s) with bit s of i = 0:
+#     u' = u + v;   v' = W_s[i mod 2^s] * (u - v)
+# in the same roll/select full-width formulation as the DIT kernel.
+# ---------------------------------------------------------------------------
+
+
+def _stages_vmem_dif(lo, hi, tlo, thi, bits: int):
+    row = jax.lax.broadcasted_iota(jnp.uint32, lo.shape, 0)
+    for s in range(bits - 1, -1, -1):
+        half = 1 << s
+        w = (tlo[:, s:s + 1], thi[:, s:s + 1])
+        up = gf.add((lo, hi), (_roll_rows(lo, -half), _roll_rows(hi, -half)))
+        dn = gf.mul(w, gf.sub((_roll_rows(lo, half), _roll_rows(hi, half)),
+                              (lo, hi)))
+        bit = (row >> np.uint32(s)) & np.uint32(1)
+        is_v = bit.astype(jnp.bool_)
+        lo = jnp.where(is_v, dn[0], up[0])
+        hi = jnp.where(is_v, dn[1], up[1])
+    return lo, hi
+
+
+def ntt_cols_dif_pallas(a, inverse: bool = False, tile: int = 256,
+                        interpret: bool = False, zero_tail_rows: int = 0):
+    """a: (B, q, n2) GF pair -> (B, n1, n2), size-n1 NTT down the columns,
+    NATURAL order in, BIT-REVERSED order out (n1 = q + zero_tail_rows; the
+    missing rows are an implied zero tail, materialized in VMEM)."""
+    from jax.experimental import pallas as pl
+
+    lo, hi = a
+    squeeze = lo.ndim == 2
+    if squeeze:
+        lo, hi = lo[None], hi[None]
+    nb, q, n2 = lo.shape
+    n1 = q + zero_tail_rows
+    bits = log2_strict(n1)
+    t = min(tile, n2)
+    assert n2 % t == 0, (n2, t)
+    tlo_np, thi_np = _full_twiddle_table(n1, inverse)
+
+    def kernel(tlo_ref, thi_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+        blo, bhi = lo_ref[0], hi_ref[0]
+        if zero_tail_rows:
+            z = jnp.zeros((zero_tail_rows, blo.shape[1]), jnp.uint32)
+            blo = jnp.concatenate([blo, z], axis=0)
+            bhi = jnp.concatenate([bhi, z], axis=0)
+        olo, ohi = _stages_vmem_dif(blo, bhi, tlo_ref[...], thi_ref[...],
+                                    bits)
+        out_lo_ref[0] = olo
+        out_hi_ref[0] = ohi
+
+    out_shape = (jax.ShapeDtypeStruct((nb, n1, n2), jnp.uint32),
+                 jax.ShapeDtypeStruct((nb, n1, n2), jnp.uint32))
+    inblk = pl.BlockSpec((1, q, t), lambda b, i: (b, 0, i))
+    outblk = pl.BlockSpec((1, n1, t), lambda b, i: (b, 0, i))
+    twb = pl.BlockSpec((n1, bits), lambda b, i: (0, 0))
+    out_lo, out_hi = pl.pallas_call(
+        kernel,
+        grid=(nb, n2 // t),
+        in_specs=[twb, twb, inblk, inblk],
+        out_specs=(outblk, outblk),
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=_compiler_params(interpret),
+    )(jnp.asarray(tlo_np), jnp.asarray(thi_np), lo, hi)
+    if squeeze:
+        return out_lo[0], out_hi[0]
+    return out_lo, out_hi
+
+
 def enabled() -> bool:
     """Pallas column NTTs run on real TPU unless disabled;
     PLONKY2_TPU_PALLAS_NTT=0 turns them off, =interpret forces

@@ -37,19 +37,25 @@ def _step2_twiddles(n1: int, n2: int, inverse: bool):
     return gf.from_u64(table)
 
 
-def _step2_twiddles_built(n1: int, n2: int, inverse: bool):
+def _step2_twiddles_built(n1: int, n2: int, inverse: bool, row_perm=None):
     """Same table, built IN-TRACE from an (n1,)-sized host constant (the
     materialized numpy table is n elements — inlined into the HLO it made
     2^21-point commit modules ~160 MB and broke the TPU compile service):
     row k1 is an inclusive associative_scan over [1, r, r, ...] with
     r = g^k1.  Modular mul is associative, so bit-identical to sequential
     powers — and the scan compiles ~10x faster than the column-doubling
-    concat chain it replaced."""
+    concat chain it replaced.
+
+    ``row_perm`` (numpy index array) reorders the row-base constant — the
+    bitrev-output (DIF) pipeline needs row rr to carry g^{rev(rr)}."""
     n = n1 * n2
     g = gl.primitive_root_of_unity(log2_strict(n))
     if inverse:
         g = gl.s_inv(g)
-    rows = gf.from_u64(gl.powers(g, n1))            # (n1,) small constant
+    rows_u64 = gl.powers(g, n1)
+    if row_perm is not None:
+        rows_u64 = rows_u64[row_perm]
+    rows = gf.from_u64(rows_u64)                    # (n1,) small constant
     xs = (jnp.broadcast_to(jnp.asarray(rows[0])[:, None], (n1, n2)),
           jnp.broadcast_to(jnp.asarray(rows[1])[:, None], (n1, n2)))
     xs = (xs[0].at[:, 0].set(1), xs[1].at[:, 0].set(0))
@@ -124,6 +130,52 @@ def _four_step_zero_tail_pallas(prefix, rate_bits: int, n1: int):
     b = ntp.ntt_cols_pallas(at, False, tile=_pallas_tile(n2),
                             interpret=interp)
     return b[0].reshape(*lead, m), b[1].reshape(*lead, m)
+
+
+def _four_step_zero_tail_bitrev_pallas(prefix, rate_bits: int, n1: int):
+    """Four-step zero-tail NTT emitting the result in BIT-REVERSED order
+    (Merkle-leaf order) with no gather: both column passes run as DIF
+    kernels (natural-in, bitrev-out), the step-2 twiddle rows are
+    pre-permuted to match, and the final rev_m(j) = (rev_n2(b), rev_n1(a))
+    split reduces to one transpose.  Bit-identical to
+    four_step_zero_tail_ntt(...)[..., bitrev_perm(m)]."""
+    from ..ops import ntt_pallas as ntp
+
+    lead = prefix[0].shape[:-1]
+    q = prefix[0].shape[-1]
+    r = rate_bits
+    m = q << r
+    n2 = m // n1
+    q_rows = n1 >> r
+    interp = ntp.interpret_mode()
+    x = (prefix[0].reshape(*lead, q_rows, n2),
+         prefix[1].reshape(*lead, q_rows, n2))
+    a = ntp.ntt_cols_dif_pallas(x, tile=_pallas_tile(n1), interpret=interp,
+                                zero_tail_rows=n1 - q_rows)
+    perm1 = np.asarray(base_ntt.bitrev_perm(n1))
+    tw = _step2_twiddles_built(n1, n2, False, row_perm=perm1) \
+        if m >= (1 << 12) else \
+        tuple(jnp.asarray(t)[perm1] for t in _step2_twiddles(n1, n2, False))
+    a = gf.mul(a, tw)
+    at = (jnp.swapaxes(a[0], -1, -2), jnp.swapaxes(a[1], -1, -2))
+    b = ntp.ntt_cols_dif_pallas(at, tile=_pallas_tile(n2), interpret=interp)
+    return (jnp.swapaxes(b[0], -1, -2).reshape(*lead, m),
+            jnp.swapaxes(b[1], -1, -2).reshape(*lead, m))
+
+
+def batched_four_step_zero_tail_bitrev(prefix, rate_bits: int):
+    """(B, q) pair -> (B, m) pair in bitrev (leaf) order via the DIF
+    pipeline, or None if the Pallas path can't run here (caller falls back
+    to natural order + gather)."""
+    q = prefix[0].shape[-1]
+    if rate_bits == 0:
+        return None
+    m = q << rate_bits
+    n1 = max(1 << (log2_strict(m) // 2), 1 << rate_bits)
+    n2 = m // n1
+    if not (_pallas_cols_ok(n1, n2) and _pallas_cols_ok(n2, n1)):
+        return None
+    return _four_step_zero_tail_bitrev_pallas(prefix, rate_bits, n1)
 
 
 def four_step_ntt(coeffs, inverse: bool = False, n1: int | None = None,

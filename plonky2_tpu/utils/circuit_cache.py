@@ -41,10 +41,28 @@ def save_circuit(path: str, data, extra=None) -> None:
     os.replace(tmp, path)
 
 
-def load_circuit(path: str, use_device: Optional[bool] = None):
-    """Returns (CircuitData, extra) or None if absent/unreadable."""
+def load_circuit(path: str, use_device: Optional[bool] = None,
+                 expect_sha256: Optional[str] = None):
+    """Returns (CircuitData, extra) or None if absent/unreadable.
+
+    ``expect_sha256`` pins the file digest BEFORE unpickling — pickle.load
+    executes arbitrary code, so callers loading a blob that travelled
+    through version control (bench.py's flagship circuit) must refuse a
+    tampered file rather than deserialize it."""
     if not os.path.exists(path):
         return None
+    if expect_sha256 is not None:
+        import hashlib
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 24), b""):
+                h.update(chunk)
+        if h.hexdigest() != expect_sha256:
+            import sys
+            print(f"circuit_cache: sha256 mismatch for {path}; refusing "
+                  f"to unpickle (got {h.hexdigest()[:16]}...)",
+                  file=sys.stderr)
+            return None
     from ..fri.oracle import PolynomialBatch
     from ..plonk.circuit_data import (CircuitData, ProverOnlyCircuitData)
     try:

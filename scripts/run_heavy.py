@@ -1,5 +1,5 @@
 """Heavy-tier recorder: run every @pytest.mark.heavy test ONE AT A TIME
-and append each outcome to HEAVY_r04.json as it finishes, so a wall-clock
+and append each outcome to HEAVY_r05.json as it finishes, so a wall-clock
 cutoff still leaves a record of everything that completed (VERDICT r3
 ask #8 — round 3 recorded only the transfer proof).
 
@@ -15,7 +15,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "HEAVY_r04.json")
+OUT = os.path.join(REPO, "HEAVY_r05.json")
 
 # Fastest-first, by round-3 timings where known.
 TESTS = [
@@ -39,7 +39,7 @@ TESTS = [
 
 def main() -> None:
     per_test_timeout = int(sys.argv[1]) if len(sys.argv) > 1 else 2400
-    results = {"round": 4, "tier": "heavy", "per_test_timeout_s":
+    results = {"round": 5, "tier": "heavy", "per_test_timeout_s":
                per_test_timeout, "results": []}
     env = dict(os.environ, RUN_HEAVY_TESTS="1")
     for test in TESTS:

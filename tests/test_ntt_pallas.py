@@ -96,3 +96,58 @@ def test_four_step_zero_tail_pallas_matches(rng, monkeypatch):
     padded[:, :q] = v
     want = np.stack([fnp.fft(padded[b]) for b in range(2)])
     np.testing.assert_array_equal(_u64(got), want)
+
+
+def test_ntt_cols_dif_matches_bitrev_oracle(rng):
+    from plonky2_tpu.utils.bits import bit_reverse_indices
+    v = _rand(rng, (16, 128))
+    got = ntp.ntt_cols_dif_pallas(_pair(v), tile=128, interpret=True)
+    perm = bit_reverse_indices(16)
+    want = np.stack([fnp.fft(v[:, j])[perm] for j in range(128)], axis=1)
+    np.testing.assert_array_equal(_u64(got), want)
+
+
+def test_ntt_cols_dif_zero_tail(rng):
+    from plonky2_tpu.utils.bits import bit_reverse_indices
+    v = _rand(rng, (4, 128))           # q rows, implied n1 = 16
+    got = ntp.ntt_cols_dif_pallas(_pair(v), tile=128, interpret=True,
+                                  zero_tail_rows=12)
+    padded = np.zeros((16, 128), dtype=np.uint64)
+    padded[:4] = v
+    perm = bit_reverse_indices(16)
+    want = np.stack([fnp.fft(padded[:, j])[perm] for j in range(128)],
+                    axis=1)
+    np.testing.assert_array_equal(_u64(got), want)
+
+
+def test_four_step_zero_tail_bitrev_matches(rng, monkeypatch):
+    from plonky2_tpu.utils.bits import bit_reverse_indices
+    monkeypatch.setenv("PLONKY2_TPU_PALLAS_NTT", "interpret")
+    q, r = 1 << 8, 3
+    v = _rand(rng, (2, q))
+    m = q << r
+    n1 = max(1 << (11 // 2), 1 << r)   # bits=11 -> n1=32
+    got = fs._four_step_zero_tail_bitrev_pallas(_pair(v), r, n1)
+    padded = np.zeros((2, m), dtype=np.uint64)
+    padded[:, :q] = v
+    perm = bit_reverse_indices(m)
+    want = np.stack([fnp.fft(padded[b])[perm] for b in range(2)])
+    np.testing.assert_array_equal(_u64(got), want)
+
+
+def test_lde_coset_ntt_bitrev_equivalence(rng, monkeypatch):
+    """lde_coset_ntt_bitrev == lde_coset_ntt + bitrev gather, on BOTH the
+    Pallas (interpret) path and the XLA fallback."""
+    from plonky2_tpu.ops import ntt as jntt
+    from plonky2_tpu.utils.bits import bit_reverse_indices
+    q, r = 1 << 9, 3
+    v = _rand(rng, (3, q))
+    perm = bit_reverse_indices(q << r)
+    base = jntt.lde_coset_ntt(_pair(v), r)
+    want = _u64(base)[:, perm]
+    monkeypatch.setenv("PLONKY2_TPU_PALLAS_NTT", "interpret")
+    np.testing.assert_array_equal(
+        _u64(jntt.lde_coset_ntt_bitrev(_pair(v), r)), want)
+    monkeypatch.setenv("PLONKY2_TPU_PALLAS_NTT", "0")
+    np.testing.assert_array_equal(
+        _u64(jntt.lde_coset_ntt_bitrev(_pair(v), r)), want)

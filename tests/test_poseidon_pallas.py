@@ -56,6 +56,40 @@ def test_unrolled_permutation_boundary_values():
     _eq(want, pp.poseidon_fast_t_unrolled(st, use_mxu=True))
 
 
+def test_naive_permutation_matches_oracle(rng):
+    """v2 trace-level parity: naive schedule + blockdiag-96 int8 MDS +
+    non-canonical intermediates == the fast-schedule XLA permutation."""
+    st = _rand_pair(rng, (12, 64))
+    want = pj.poseidon_t(st)
+    _eq(want, pp.poseidon_naive_t(st))
+
+
+def test_naive_permutation_boundary_values():
+    vals = np.array([0, 1, gl.P - 1, gl.P - 2, (1 << 32) - 1, 1 << 32,
+                     (1 << 32) + 1, gl.P - (1 << 32), 7, 1 << 63,
+                     (1 << 63) + (1 << 32), gl.P - 1], dtype=np.uint64)
+    st = gf.from_u64(np.tile(vals[:, None], (1, 8)))
+    st = (jnp.asarray(st[0]), jnp.asarray(st[1]))
+    want = pj.poseidon_t(st)
+    _eq(want, pp.poseidon_naive_t(st))
+
+
+def test_naive_permutation_noncanonical_inputs(rng):
+    """_perm_naive accepts any 64-bit representative: feeding x and x+p
+    must give identical canonical outputs."""
+    v = rng.integers(0, 1 << 32, size=(12, 8), dtype=np.uint64)  # < p-ish
+    lo, hi = gf.from_u64(v)
+    want = pp.poseidon_naive_t((jnp.asarray(lo), jnp.asarray(hi)))
+    vp = v + np.uint64(gl.P)  # non-canonical representative (v < 2^32)
+    lo2, hi2 = gf.from_u64(vp)
+    rlo, rhi, m96, offs = pp._naive_tables()
+    out = pp._perm_naive((jnp.asarray(lo2), jnp.asarray(hi2)),
+                         jnp.asarray(rlo), jnp.asarray(rhi),
+                         jnp.asarray(m96), jnp.asarray(offs))
+    got = gf._canon(*out)
+    _eq(want, got)
+
+
 def test_sponge_switch_gating(monkeypatch):
     """The env gate: '0' disables, 'interpret' force-enables on CPU."""
     monkeypatch.setenv("PLONKY2_TPU_PALLAS_SPONGE", "0")
