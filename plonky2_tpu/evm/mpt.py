@@ -270,11 +270,18 @@ def all_mpt_prover_inputs(trie_inputs) -> List[int]:
         for addr, t in trie_inputs.storage_tries}
     _state_trie_inputs(trie_inputs.state_trie, EMPTY_NIBBLES, inputs,
                        storage_by_key)
-    _mpt_inputs(trie_inputs.transactions_trie, inputs,
-                lambda v: [int.from_bytes(x, "big") if isinstance(x, bytes)
-                           else 0 for x in rlp.decode_list(v)])
-    _mpt_inputs(trie_inputs.receipts_trie, inputs, lambda v: [])
+    # txn/receipt values stream as FAITHFUL BYTES ([len, b0..]) — the
+    # reference's decode_list/empty parse (generation/mpt.rs:53-60) is
+    # lossy, which forced its txn/receipt root digests to stay
+    # PROVER_INPUTs; byte-exact values let mpt_asm.py hash (and insert
+    # into) all three tries in-kernel.
+    _mpt_inputs(trie_inputs.transactions_trie, inputs, _bytes_value)
+    _mpt_inputs(trie_inputs.receipts_trie, inputs, _bytes_value)
     return inputs
+
+
+def _bytes_value(v: bytes) -> List[int]:
+    return [len(v)] + list(v)
 
 
 def _mpt_inputs(trie: PartialTrie, inputs: List[int], parse_value) -> None:
