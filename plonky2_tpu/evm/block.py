@@ -5,18 +5,20 @@ The reference drives a ~40-file kernel asm library whose sources are absent
 from its own tree here; this framework ships its OWN block kernel written in
 the same asm DSL (kernel/).  The kernel:
 
-1. loads the linearized trie data (mpt.py all_mpt_prover_inputs) into
-   `Segment::TrieData` word by word with a counted loop, recording
-   TrieDataSize (reference mpt/load.asm);
-2. COMPUTES the state root in-kernel by RLP-encoding and keccak-hashing the
-   loaded TrieData (mpt_asm.py, KECCAK_GENERAL — reference mpt_hash.asm,
-   spec'd by cpu/kernel/tests/mpt/hash.rs) and stores it in
-   `Segment::GlobalMetadata`; txn/receipt roots come from prover inputs
-   (lossy linearization) and are host-cross-checked;
-3. processes the signed transactions (txn_asm.py) — optionally recovering
-   each sender fully in-kernel (secp_asm.py ecrecover) — then REHASHES the
-   mutated TrieData for the state after-root and halts (reference
-   simulate_cpu halt loop, generation/mod.rs:119-136).
+1. builds POINTERED tries in `Segment::TrieData` from the sequential
+   prover stream (mpt_asm.py load_all_mpts — reference mpt/load.asm,
+   spec'd by cpu/kernel/tests/mpt/load.rs), leaving root pointers in
+   `Segment::GlobalMetadata`;
+2. COMPUTES all three before-roots in-kernel by RLP-encoding and
+   keccak-hashing the loaded TrieData (mpt_asm.py mpt_hash_*_trie,
+   KECCAK_GENERAL — reference mpt_hash.asm, spec'd by tests/mpt/hash.rs);
+3. processes the signed transactions (txn_asm.py) — recovering each
+   sender fully in-kernel by default (secp_asm.py ecrecover), moving
+   balances and CREATING accounts through mpt_read/mpt_insert, and
+   inserting each txn + receipt into their tries in-kernel — then
+   REHASHES all three after-roots and halts (reference simulate_cpu halt
+   loop, generation/mod.rs:119-136).  No trie root enters via
+   PROVER_INPUT.
 
 PublicValues (trie roots before/after + BlockMetadata) are read back from
 the executed witness memory exactly like the reference
@@ -96,16 +98,14 @@ class TrieRoots:
 class PublicValues:
     """reference proof.rs:36-50.
 
-    The STATE roots (before and after) are proof-bound: the kernel computes
-    them by hashing the loaded/mutated TrieData in-kernel through
-    KECCAK_GENERAL (mpt_asm.py), so tampering with trie bytes changes the
-    executed digest and breaks the memory/keccak CTLs.  SOUNDNESS CAVEAT:
-    the TRANSACTION and RECEIPT roots still enter through PROVER_INPUT
-    (their linearization is lossy); the host-side trace generator
-    cross-checks those against independently recomputed
-    ``PartialTrie.calc_hash()`` roots and refuses to emit mismatching
-    PublicValues, but a verifier of a third-party proof must not treat
-    them as proof-bound."""
+    ALL SIX roots are proof-bound: the kernel computes them by hashing
+    the loaded (before) and mutated (after) pointered TrieData in-kernel
+    through KECCAK_GENERAL (mpt_asm.py mpt_hash_*_trie), with the
+    mutations themselves (balance moves, account creation, per-txn
+    txn/receipt inserts) executed in-kernel via mpt_read/mpt_insert.
+    Tampering with any trie byte changes an executed digest and breaks
+    the memory/keccak CTLs; the host cross-checks in
+    generate_block_traces are redundant sanity asserts, not the binding."""
     trie_roots_before: TrieRoots
     trie_roots_after: TrieRoots
     block_metadata: BlockMetadata
@@ -144,24 +144,12 @@ class BlockProverInputs:
         ns = fn[0]
         if ns == "mpt":
             what = fn[1] if len(fn) > 1 else "load"
-            if what == "count":
-                return len(self.mpt_data)
             if what == "load":
                 v = self.mpt_data[self._mpt_pos]
                 self._mpt_pos += 1
                 return v
-            if what == "state_digest":
-                return self.roots_before.state_root
-            if what == "txn_digest":
-                return self.roots_before.transactions_root
-            if what == "receipt_digest":
-                return self.roots_before.receipts_root
-            if what == "state_digest_after":
-                return self.roots_after.state_root
-            if what == "txn_digest_after":
-                return self.roots_after.transactions_root
-            if what == "receipt_digest_after":
-                return self.roots_after.receipts_root
+            # NO digest prover inputs exist anymore: all six trie roots
+            # are computed in-kernel (mpt_asm.py mpt_hash_*_trie)
         if ns == "rlp":
             v = self.rlp_data[self._rlp_pos]
             self._rlp_pos += 1
@@ -222,50 +210,35 @@ _BLOCK_KERNEL_ASM = """
 %endmacro
 
 GLOBAL main:
-    // load linearized trie data into Segment::TrieData
-    PROVER_INPUT(mpt::count)
-    PUSH 0
-    // stack: i, n
-load_loop:
-    DUP2
-    DUP2
-    EQ
-    PUSH load_done
-    JUMPI
-    PROVER_INPUT(mpt::load)
-    // stack: word, i, n
-    DUP2
-    PUSH @SEGMENT_TRIE_DATA
-    PUSH 0
-    MSTORE_GENERAL
-    // stack: i, n
-    PUSH 1
-    ADD
-    PUSH load_loop
+    // build the pointered tries in Segment::TrieData from the sequential
+    // prover stream (mpt_asm.py load_all_mpts); root POINTERS land in
+    // GlobalMetadata slots 4/5/6 and TrieDataSize in slot 3
+    PUSH main_loaded
+    PUSH load_all_mpts
     JUMP
-load_done:
-    // stack: i(==n), n
-    POP
-    %mstore_global(3)            // TrieDataSize = n
-
-    // "before" trie roots -> global metadata (slots 8..10).  The STATE
-    // root is COMPUTED in-kernel from the loaded TrieData (mpt_asm.py
-    // mpt_hash_state_trie, KECCAK_GENERAL-bound), so slot 8 is a fact of
-    // the constrained execution; txn/receipt roots remain prover inputs
-    // (their linearization is lossy, evm/mpt.py all_mpt_prover_inputs)
+main_loaded:
+    // "before" trie roots -> global metadata slots 8..10, ALL computed
+    // in-kernel from the loaded TrieData (KECCAK_GENERAL-bound)
     PUSH main_state_hashed
     PUSH mpt_hash_state_trie
     JUMP
 main_state_hashed:
     %mstore_global(8)
-    PROVER_INPUT(mpt::txn_digest)
+    PUSH main_txn_hashed
+    PUSH mpt_hash_txn_trie
+    JUMP
+main_txn_hashed:
     %mstore_global(9)
-    PROVER_INPUT(mpt::receipt_digest)
+    PUSH main_rcpt_hashed
+    PUSH mpt_hash_receipt_trie
+    JUMP
+main_rcpt_hashed:
     %mstore_global(10)
 
     // process signed transactions (type 0): parse RLP in-kernel, charge
-    // intrinsic gas through CONSUME_GAS, debit/credit balances in the
-    // loaded TrieData via the state-trie walk (txn_asm.py)
+    // intrinsic gas through CONSUME_GAS, move balances through
+    // mpt_read/mpt_insert on the pointered state trie, and record the
+    // txn + receipt into their tries in-kernel (txn_asm.py)
     PROVER_INPUT(end_of_txns)
     PUSH txns_done
     JUMPI
@@ -274,6 +247,8 @@ main_state_hashed:
 // SHIFT_TABLE_INIT_SPLICE
 txn_first:
     PROVER_INPUT(rlp)           // txn byte length
+    DUP1
+    %mstore_global(17)          // current txn RLP length (txn_record)
     PUSH 0                      // i, len
 rlp_copy:
     DUP2
@@ -309,6 +284,11 @@ txn_sender_done:
     PUSH txn_transfer
     JUMP
 txn_xfer_done:
+    // record the txn + its receipt into their tries (in-kernel inserts)
+    PUSH txn_recorded
+    PUSH txn_record
+    JUMP
+txn_recorded:
 txn_loop:
     PROVER_INPUT(end_of_txns)
     PUSH txns_done
@@ -316,20 +296,23 @@ txn_loop:
     PUSH txn_first
     JUMP
 txns_done:
-    // "after" trie roots -> global metadata slots 11..13.  The state
-    // after-root splice either REHASHES the mutated TrieData in-kernel
-    // (txn_transfer debits/credits balances in place — exact whenever the
-    // block only touches existing accounts) or, for blocks that CREATE
-    // accounts (a structural trie insert the in-place mutation cannot
-    // express), takes the host root as a prover input; txn/receipt
-    // after-roots stay prover inputs.  All prover-input roots are
-    // cross-checked against an independent re-application in
-    // generate_block_traces.
-// AFTER_ROOT_SPLICE
+    // "after" trie roots -> global metadata slots 11..13, ALL rehashed
+    // in-kernel from the mutated/extended TrieData — account creation,
+    // txn-trie and receipt-trie growth included (mpt_insert)
+    PUSH main_state_hashed2
+    PUSH mpt_hash_state_trie
+    JUMP
+main_state_hashed2:
     %mstore_global(11)
-    PROVER_INPUT(mpt::txn_digest_after)
+    PUSH main_txn_hashed2
+    PUSH mpt_hash_txn_trie
+    JUMP
+main_txn_hashed2:
     %mstore_global(12)
-    PROVER_INPUT(mpt::receipt_digest_after)
+    PUSH main_rcpt_hashed2
+    PUSH mpt_hash_receipt_trie
+    JUMP
+main_rcpt_hashed2:
     %mstore_global(13)
 
     PUSH halt_pc0
@@ -351,33 +334,23 @@ _SENDER_PROVER_INPUT = """
     PROVER_INPUT(txn::sender)
     %mstore_txn_field(@TXN_FIELD_ORIGIN)
 """
-_AFTER_ROOT_IN_KERNEL = """
-    PUSH main_state_hashed2
-    PUSH mpt_hash_state_trie
-    JUMP
-main_state_hashed2:
-"""
-_AFTER_ROOT_PROVER_INPUT = """
-    PROVER_INPUT(mpt::state_digest_after)
-"""
 
 
-def block_kernel(in_kernel_ecrecover: bool = False,
-                 in_kernel_after_root: bool = True) -> Kernel:
+def block_kernel(in_kernel_ecrecover: bool = True) -> Kernel:
     """Assemble the block kernel.
 
-    ``in_kernel_ecrecover=True`` recovers every sender with the secp256k1
-    routine library (secp_asm.py) over the in-kernel signing hash — fully
-    proof-bound, ~110k cycles per transaction (double-and-add scalar
-    muls); False takes the sender as a PROVER_INPUT witness, which keeps
-    unit-scale block proofs small.
+    ``in_kernel_ecrecover=True`` (the DEFAULT — soundness is opt-out, not
+    opt-in) recovers every sender with the secp256k1 routine library
+    (secp_asm.py) over the in-kernel signing hash — fully proof-bound,
+    ~110k cycles per transaction (double-and-add scalar muls); False
+    takes the sender as a PROVER_INPUT witness, for unit-scale tests that
+    explicitly opt out.
 
-    The state BEFORE-root is always computed in-kernel from the loaded
-    TrieData.  ``in_kernel_after_root`` picks the after-root binding:
-    in-kernel rehash of the mutated TrieData (exact iff the block touches
-    only existing accounts) vs a host-cross-checked prover input (needed
-    when a transfer creates an account — generate_block_traces selects
-    automatically)."""
+    ALL SIX trie roots (state/txn/receipt, before and after) are computed
+    in-kernel: load_all_mpts builds the pointered TrieData, the before
+    roots hash it, transactions mutate it through mpt_read/mpt_insert
+    (including account creation and the per-txn txn/receipt inserts), and
+    the after roots rehash it.  No root enters via PROVER_INPUT."""
     from .kernel.asm_util import UTIL_ASM
     from .kernel.stdlib import SHIFT_TABLE_INIT
     from .mpt_asm import MPT_ASM
@@ -393,10 +366,6 @@ def block_kernel(in_kernel_ecrecover: bool = False,
     main_asm = main_asm.replace(
         "// SENDER_SPLICE\n",
         _SENDER_IN_KERNEL if in_kernel_ecrecover else _SENDER_PROVER_INPUT)
-    main_asm = main_asm.replace(
-        "// AFTER_ROOT_SPLICE\n",
-        _AFTER_ROOT_IN_KERNEL if in_kernel_after_root
-        else _AFTER_ROOT_PROVER_INPUT)
     files = [parse(main_asm), parse(TXN_ASM), parse(UTIL_ASM),
              parse(MPT_ASM), parse(SECP_ASM)]
     return assemble(files, consts, optimize=False)
@@ -408,7 +377,7 @@ def block_kernel(in_kernel_ecrecover: bool = False,
 
 def generate_block_traces(inputs: GenerationInputs, min_rows: int = 8,
                           range_check=None,
-                          in_kernel_ecrecover: bool = False):
+                          in_kernel_ecrecover: bool = True):
     """Returns (traces for the 6-table AllStark, PublicValues, kernel).
 
     ``range_check``: arithmetic-table 16-bit limb range check — None (auto
@@ -416,14 +385,8 @@ def generate_block_traces(inputs: GenerationInputs, min_rows: int = 8,
     ``all_stark.arithmetic_range_check_policy``."""
     from .all_stark import generate_all_traces_with_cpu
     from .generation import generate_kernel_execution
-    from .transactions import creates_accounts
 
-    # blocks that create accounts change the trie STRUCTURE; the kernel's
-    # in-place balance mutation cannot express that, so the after-root
-    # falls back to the host-cross-checked prover input there
-    after_in_kernel = not creates_accounts(inputs.tries, inputs.signed_txns)
-    kernel = block_kernel(in_kernel_ecrecover=in_kernel_ecrecover,
-                          in_kernel_after_root=after_in_kernel)
+    kernel = block_kernel(in_kernel_ecrecover=in_kernel_ecrecover)
     provider_factory = lambda: BlockProverInputs(inputs)  # noqa: E731
     ex = generate_kernel_execution(kernel, min_rows=min_rows,
                                    prover_input_factory=provider_factory)
@@ -437,10 +400,8 @@ def generate_block_traces(inputs: GenerationInputs, min_rows: int = 8,
     def read_meta(ix: int) -> int:
         return mem.get((0, int(Segment.GlobalMetadata), ix), 0)
 
-    # The before-digests enter the kernel via PROVER_INPUT — an
-    # unconstrained prover-chosen witness.  Until in-kernel KECCAK_GENERAL
-    # trie hashing binds them, refuse to emit PublicValues whose roots
-    # disagree with an independent host recomputation of the loaded tries.
+    # Sanity cross-check (redundant with the in-kernel binding): the
+    # kernel-computed roots must equal an independent host recomputation.
     expected = TrieRoots(
         state_root=inputs.tries.state_trie.calc_hash(),
         transactions_root=inputs.tries.transactions_trie.calc_hash(),
@@ -480,14 +441,15 @@ def generate_block_traces(inputs: GenerationInputs, min_rows: int = 8,
 
 
 def prove_block(inputs: GenerationInputs, config=None, min_rows: int = 8,
-                range_check=None, in_kernel_ecrecover: bool = False):
+                range_check=None, in_kernel_ecrecover: bool = True):
     """GenerationInputs -> AllProof with PublicValues (reference
     prover.rs prove + generation/mod.rs generate_traces).
 
     ``range_check=None`` auto-enables the arithmetic table's 16-bit limb
     range check at production heights (>= 2^16 arithmetic rows).
-    ``in_kernel_ecrecover=True`` binds every transfer to its signature via
-    the in-kernel secp256k1 recovery (see block_kernel)."""
+    ``in_kernel_ecrecover`` defaults to True — every sender binds to its
+    signature via the in-kernel secp256k1 recovery; unit-scale tests may
+    opt OUT explicitly (see block_kernel)."""
     from ..stark.config import StarkConfig
     from .all_stark import make_all_stark_with_cpu
     from .arithmetic import NUM_ARITH_RC_COLUMNS

@@ -914,6 +914,13 @@ mi_dv_b:
     ISZERO
     PUSH mi_dv_oldval
     JUMPI
+    // cp == 0 (o_cnt == ncnt): o_pk = npk verbatim — 16^64 would wrap to
+    // zero in U256 and poison the MOD
+    %milocal_load(4)
+    DUP2
+    EQ
+    PUSH mi_dv_o_full
+    JUMPI
     %stack (oc) -> (oc, mi_dv_opw, oc)
     PUSH pow16
     JUMP
@@ -924,6 +931,14 @@ mi_dv_opw:
     // o_pk = npk % pw, o_cnt, ret
     SWAP1
     // o_cnt, o_pk, ret
+    PUSH mi_dv_osp
+    JUMP
+mi_dv_o_full:
+    // o_cnt, ret
+    %milocal_load(5)
+    SWAP1
+    // o_cnt, o_pk(=npk), ret
+mi_dv_osp:
     %stack (oc, opk) -> (oc, opk, mi_dv_osplit)
     PUSH nib_split
     JUMP
@@ -1030,6 +1045,12 @@ mi_dv_new:
     ISZERO
     PUSH mi_dv_newval
     JUMPI
+    // cp == 0 (n_cnt == cnt): n_pk = key verbatim (16^64 wraps to zero)
+    %milocal_load(6)
+    DUP2
+    EQ
+    PUSH mi_dv_n_full
+    JUMPI
     %stack (nc) -> (nc, mi_dv_npw, nc)
     PUSH pow16
     JUMP
@@ -1039,6 +1060,14 @@ mi_dv_npw:
     MOD
     // n_pk = key % pw, n_cnt, ret
     SWAP1
+    PUSH mi_dv_nsp
+    JUMP
+mi_dv_n_full:
+    // n_cnt, ret
+    %milocal_load(7)
+    SWAP1
+    // n_cnt, n_pk(=key), ret
+mi_dv_nsp:
     %stack (nc, npack) -> (nc, npack, mi_dv_nsplit)
     PUSH nib_split
     JUMP
@@ -1697,4 +1726,17 @@ GLOBAL mpt_hash_receipt_trie:
     PUSH mpt_hash_root
     JUMP
 
+
+// (key, value_ptr, ret) -> (): insert under a full 64-nibble key and
+// update the state-trie root pointer (spec: tests/{balance,
+// account_code}.rs prepare_interpreter)
+GLOBAL mpt_insert_state_trie:
+    %gmload(4)
+    %stack (root, key, vptr) -> (root, 64, key, vptr, mist_done)
+    PUSH mpt_insert
+    JUMP
+mist_done:
+    // new_root, ret
+    %gmstore(4)
+    JUMP
 """

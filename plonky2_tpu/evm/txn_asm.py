@@ -41,9 +41,11 @@ TXN_FIELDS = {
 
 
 def txn_field_constants() -> dict:
+    from .mpt import EMPTY_CODE_HASH
     c = dict(TXN_FIELDS)
     c["GAS_TX"] = 21_000
     c["GAS_TXCREATE"] = 32_000
+    c["EMPTY_CODE_HASH"] = EMPTY_CODE_HASH
     return c
 
 
@@ -367,6 +369,15 @@ ig_done:
     POP
     SWAP1
     POP                         // cost, ret
+    // cumulative block gas for receipts: GlobalMetadata[15] += cost
+    DUP1
+    PUSH 15
+    PUSH @SEGMENT_GLOBAL_METADATA
+    PUSH 0
+    MLOAD_GENERAL
+    ADD
+    %stack (cum) -> (0, @SEGMENT_GLOBAL_METADATA, 15, cum)
+    MSTORE_GENERAL
     CONSUME_GAS
     JUMP
 
@@ -437,303 +448,14 @@ a2k_done:
     JUMP
 
 // ---------------------------------------------------------------------------
-// state-trie walk over the linearized TrieData stream (layout
-// mpt.py all_mpt_prover_inputs / reference mpt.rs:37-173)
+// the transfer itself — pointered-trie edition: accounts resolve through
+// mpt_read on the state root POINTER (GlobalMetadata[4]); a missing
+// recipient is CREATED in-kernel (fresh AccountRlp value + mpt_insert),
+// so account-creating blocks stay fully proof-bound (reference
+// tests/mpt/{read,insert}.rs semantics)
 // ---------------------------------------------------------------------------
 
-// (ptr, ret) -> (next): skip one STORAGE-trie node
-GLOBAL mpt_skip_storage:
-    DUP1
-    %tload                      // kind, ptr, ret
-    DUP1
-    ISZERO
-    PUSH sksto_p1
-    JUMPI
-    DUP1
-    PUSH 1
-    EQ
-    PUSH sksto_p2
-    JUMPI
-    DUP1
-    PUSH 2
-    EQ
-    PUSH sksto_branch
-    JUMPI
-    PUSH 3
-    EQ
-    PUSH sksto_ext
-    JUMPI
-    // leaf: [kind, count, packed, value]
-    %stack (ptr, ret) -> (4, ptr, ret)
-    ADD
-    SWAP1
-    JUMP
-sksto_p1:
-    POP
-    %stack (ptr, ret) -> (1, ptr, ret)
-    ADD
-    SWAP1
-    JUMP
-sksto_p2:
-    POP
-    %stack (ptr, ret) -> (2, ptr, ret)
-    ADD
-    SWAP1
-    JUMP
-sksto_branch:
-    POP                         // ptr, ret
-    // p = ptr + 2 + value_flag; [kind, flag, (value if flag), children]
-    DUP1
-    PUSH 1
-    ADD
-    %tload                      // flag, ptr, ret
-    %stack (flag, ptr) -> (flag, 2, ptr)
-    ADD
-    ADD                         // p, ret
-    PUSH 0                      // j, p, ret
-sksto_bloop:
-    DUP1
-    PUSH 16
-    EQ
-    PUSH sksto_bdone
-    JUMPI
-    %stack (j, p) -> (p, sksto_bret, j)
-    PUSH mpt_skip_storage
-    JUMP
-sksto_bret:
-    // p', j, ret
-    SWAP1
-    PUSH 1
-    ADD                         // j+1, p', ret
-    PUSH sksto_bloop
-    JUMP
-sksto_bdone:
-    POP
-    SWAP1
-    JUMP
-sksto_ext:
-    // stack: ptr, ret   ([kind, count, packed, child...])
-    %stack (ptr, ret) -> (3, ptr, ret)
-    ADD                         // child_ptr, ret — tail call
-    PUSH mpt_skip_storage
-    JUMP
-
-// (ptr, ret) -> (next): skip one STATE-trie node
-GLOBAL mpt_skip_state:
-    DUP1
-    %tload                      // kind, ptr, ret
-    DUP1
-    ISZERO
-    PUSH sks_p1
-    JUMPI
-    DUP1
-    PUSH 1
-    EQ
-    PUSH sks_p2
-    JUMPI
-    DUP1
-    PUSH 2
-    EQ
-    PUSH sks_branch
-    JUMPI
-    PUSH 3
-    EQ
-    PUSH sks_ext
-    JUMPI
-    // account leaf: [kind, count, packed, nonce, balance,
-    //               <storage subtree>, code_hash]
-    %stack (ptr, ret) -> (5, ptr, sks_leaf_ret, ret)
-    ADD
-    PUSH mpt_skip_storage
-    JUMP
-sks_leaf_ret:
-    // storage_next, ret
-    PUSH 1
-    ADD                         // +1 skips code_hash
-    SWAP1
-    JUMP
-sks_p1:
-    POP
-    %stack (ptr, ret) -> (1, ptr, ret)
-    ADD
-    SWAP1
-    JUMP
-sks_p2:
-    POP
-    %stack (ptr, ret) -> (2, ptr, ret)
-    ADD
-    SWAP1
-    JUMP
-sks_branch:
-    POP
-    // state branches carry no value: [kind, 0, children]
-    %stack (ptr, ret) -> (2, ptr, ret)
-    ADD                         // p, ret
-    PUSH 0                      // j, p, ret
-sks_bloop:
-    DUP1
-    PUSH 16
-    EQ
-    PUSH sks_bdone
-    JUMPI
-    %stack (j, p) -> (p, sks_bret, j)
-    PUSH mpt_skip_state
-    JUMP
-sks_bret:
-    SWAP1
-    PUSH 1
-    ADD
-    PUSH sks_bloop
-    JUMP
-sks_bdone:
-    POP
-    SWAP1
-    JUMP
-sks_ext:
-    %stack (ptr, ret) -> (3, ptr, ret)
-    ADD
-    PUSH mpt_skip_state
-    JUMP
-
-// (ptr, cnt, key, ret) -> (payload_ptr or 0): find the account leaf whose
-// full 64-nibble key is `key`; payload_ptr points at the nonce slot
-GLOBAL mpt_find_state:
-    DUP1
-    %tload                      // kind, ptr, cnt, key, ret
-    DUP1
-    ISZERO
-    PUSH mfs_absent_k
-    JUMPI
-    DUP1
-    PUSH 1
-    EQ
-    PUSH mfs_absent_k
-    JUMPI
-    DUP1
-    PUSH 2
-    EQ
-    PUSH mfs_branch
-    JUMPI
-    PUSH 3
-    EQ
-    PUSH mfs_ext
-    JUMPI
-    // leaf: key matches iff count == cnt and packed == key
-    DUP1
-    PUSH 1
-    ADD
-    %tload                      // count, ptr, cnt, key, ret
-    DUP3
-    EQ
-    ISZERO
-    PUSH mfs_absent
-    JUMPI
-    DUP1
-    PUSH 2
-    ADD
-    %tload                      // packed, ptr, cnt, key, ret
-    DUP4
-    EQ
-    ISZERO
-    PUSH mfs_absent
-    JUMPI
-    %stack (ptr, cnt, key, ret) -> (3, ptr, ret)
-    ADD
-    SWAP1
-    JUMP
-mfs_absent_k:
-    POP
-mfs_absent:
-    %stack (ptr, cnt, key, ret) -> (ret, 0)
-    JUMP
-mfs_branch:
-    POP                         // ptr, cnt, key, ret
-    // sh = 4*(cnt-1); nib = key >> sh; rem = key - (nib << sh)
-    %stack (ptr, cnt, key) -> (cnt, 1, ptr, cnt, key)
-    SUB
-    PUSH 4
-    MUL                         // sh, ptr, cnt, key
-    DUP4
-    DUP2                        // sh, key, sh, ptr, cnt, key
-    SHR                         // nib, sh, ptr, cnt, key
-    DUP2
-    DUP2
-    SWAP1                       // sh, nib, nib, sh, ptr, cnt, key
-    SHL                         // nib<<sh, nib, sh, ptr, cnt, key
-    %stack (nsh, nib, sh, ptr, cnt, key) -> (key, nsh, nib, ptr, cnt)
-    SUB                         // rem, nib, ptr, cnt
-    %stack (rem, nib, ptr, cnt) -> (2, ptr, nib, cnt, rem)
-    ADD                         // p, nib, cnt, rem
-    PUSH 0                      // j, p, nib, cnt, rem, ret
-mfs_bloop:
-    DUP3
-    DUP2
-    EQ
-    PUSH mfs_bdesc
-    JUMPI
-    %stack (j, p) -> (p, mfs_bskipret, j)
-    PUSH mpt_skip_state
-    JUMP
-mfs_bskipret:
-    // p', j, nib, cnt, rem, ret
-    SWAP1
-    PUSH 1
-    ADD                         // j+1, p', nib, cnt, rem, ret
-    PUSH mfs_bloop
-    JUMP
-mfs_bdesc:
-    // j, p, nib, cnt, rem, ret
-    %stack (j, p, nib, cnt, rem) -> (cnt, 1, p, rem)
-    SUB                         // cnt-1, p, rem, ret
-    %stack (cnt1, p, rem) -> (p, cnt1, rem)
-    PUSH mpt_find_state
-    JUMP
-mfs_ext:
-    // stack: ptr, cnt, key, ret   ([kind, count, packed, child])
-    DUP1
-    PUSH 1
-    ADD
-    %tload                      // pcnt, ptr, cnt, key, ret
-    DUP3
-    DUP2
-    SWAP1                       // cnt, pcnt, pcnt, ptr, cnt, key
-    SUB                         // cnt-pcnt, pcnt, ptr, cnt, key
-    PUSH 4
-    MUL                         // dsh, pcnt, ptr, cnt, key
-    DUP5
-    DUP2                        // dsh, key, dsh, pcnt, ptr, cnt, key
-    SHR                         // keytop, dsh, pcnt, ptr, cnt, key
-    DUP4
-    PUSH 2
-    ADD
-    %tload                      // ppk, keytop, dsh, pcnt, ptr, cnt, key
-    DUP2
-    EQ
-    ISZERO
-    PUSH mfs_ext_absent
-    JUMPI
-    // rem = key - (keytop << dsh)
-    DUP2
-    DUP2
-    SWAP1                       // dsh, keytop, keytop, dsh, pcnt, ptr, cnt, key
-    SHL                         // keytop<<dsh, keytop, dsh, pcnt, ptr, cnt, key
-    %stack (tsh, keytop, dsh, pcnt, ptr, cnt, key) -> (key, tsh, pcnt, ptr, cnt)
-    SUB                         // rem, pcnt, ptr, cnt
-    %stack (rem, pcnt, ptr, cnt) -> (cnt, pcnt, 3, ptr, rem)
-    SUB                         // cnt', 3, ptr, rem
-    %stack (cnt1, three, ptr, rem) -> (three, ptr, cnt1, rem)
-    ADD                         // p', cnt', rem, ret
-    PUSH mpt_find_state
-    JUMP
-mfs_ext_absent:
-    %stack (keytop, dsh, pcnt, ptr, cnt, key, ret) -> (ret, 0)
-    JUMP
-
-// ---------------------------------------------------------------------------
-// the transfer itself
-// ---------------------------------------------------------------------------
-
-// (ret) -> (): debit Origin by Value, credit To (if its account is loaded).
+// (ret) -> (): debit Origin by Value, credit To (creating it if absent).
 // TXN_FIELD_ORIGIN must already hold the sender — either recovered
 // in-kernel (recover_sender below) or prover-supplied, per the block
 // kernel's sender splice (evm/block.py block_kernel).
@@ -744,17 +466,22 @@ GLOBAL txn_transfer:
     JUMP
 tt_skey:
     // key, ret
-    %stack (key) -> (0, 64, key, tt_sfound)
-    PUSH mpt_find_state
+    PUSH 4
+    PUSH @SEGMENT_GLOBAL_METADATA
+    PUSH 0
+    MLOAD_GENERAL
+    // state_root_ptr, key, ret
+    %stack (root, key) -> (root, 64, key, tt_sfound)
+    PUSH mpt_read
     JUMP
 tt_sfound:
-    // payload, ret
+    // vptr, ret
     DUP1
     ISZERO
     PUSH tt_panic
     JUMPI
     PUSH 1
-    ADD                         // bal_ptr (payload points at nonce)
+    ADD                         // bal_ptr = vptr + 1
     DUP1
     %tload                      // bal, bal_ptr
     %mload_txn_field(@TXN_FIELD_VALUE)
@@ -768,16 +495,22 @@ tt_sfound:
     %stack (value, bal) -> (bal, value)
     SUB                         // bal - value, bal_ptr
     %tstore
-    // credit `to` if its account is in the loaded state trie
+    // credit `to`, creating the account if absent
     %mload_txn_field(@TXN_FIELD_TO)
     %stack (to) -> (to, tt_tkey)
     PUSH addr_to_key
     JUMP
 tt_tkey:
-    %stack (key) -> (0, 64, key, tt_tfound)
-    PUSH mpt_find_state
+    // key, ret
+    PUSH 4
+    PUSH @SEGMENT_GLOBAL_METADATA
+    PUSH 0
+    MLOAD_GENERAL
+    %stack (root, key) -> (root, 64, key, tt_tfound, key)
+    PUSH mpt_read
     JUMP
 tt_tfound:
+    // vptr, key, ret
     DUP1
     ISZERO
     PUSH tt_tabsent
@@ -789,14 +522,244 @@ tt_tfound:
     %mload_txn_field(@TXN_FIELD_VALUE)
     ADD                         // bal + value, bal_ptr
     %tstore
-    PUSH tt_end
+    // key, ret
+    POP
     JUMP
 tt_tabsent:
+    // vptr(=0), key, ret — create the account: fresh AccountRlp value
+    // [nonce=0, balance=value, storage_ptr=0 (empty trie), code_hash=
+    // keccak("")], then mpt_insert under the 64-nibble key
     POP
-tt_end:
+    %stack (key) -> (4, tt_talloc, key)
+    PUSH mpt_alloc
+    JUMP
+tt_talloc:
+    // nv, key, ret
+    %mload_txn_field(@TXN_FIELD_VALUE)
+    // value, nv, key, ret
+    DUP2
+    PUSH 1
+    ADD
+    SWAP1
+    %tstore                     // TD[nv+1] = value (nonce/storage stay 0)
+    PUSH @EMPTY_CODE_HASH
+    DUP2
+    PUSH 3
+    ADD
+    SWAP1
+    %tstore                     // TD[nv+3] = keccak("")
+    // nv, key, ret
+    PUSH 4
+    PUSH @SEGMENT_GLOBAL_METADATA
+    PUSH 0
+    MLOAD_GENERAL
+    // root, nv, key, ret
+    %stack (root, nv, key) -> (root, 64, key, nv, tt_tinserted)
+    PUSH mpt_insert
+    JUMP
+tt_tinserted:
+    // new_root, ret
+    %stack (nr) -> (0, @SEGMENT_GLOBAL_METADATA, 4, nr)
+    MSTORE_GENERAL
     JUMP
 tt_panic:
     PANIC
+
+// ---------------------------------------------------------------------------
+// per-transaction bookkeeping: insert the raw txn bytes into the
+// transactions trie and the legacy receipt into the receipts trie, both
+// in-kernel, so the after-roots of all three tries are facts of the
+// constrained execution.  Key for index i = the nibbles of
+// rlp.encode_int(i) — i's MINIMAL big-endian bytes (EMPTY for i = 0), so
+// count = 2*bytelen(i) and packed = i itself.
+// GlobalMetadata slots: 15 = cumulative gas, 16 = txn index,
+// 17 = current txn's RLP byte length (set by the block kernel's loader).
+// ---------------------------------------------------------------------------
+
+%macro gm_load15(ix)
+    PUSH $ix
+    PUSH @SEGMENT_GLOBAL_METADATA
+    PUSH 0
+    MLOAD_GENERAL
+%endmacro
+
+%macro gm_store15(ix)
+    %stack (v) -> (0, @SEGMENT_GLOBAL_METADATA, $ix, v)
+    MSTORE_GENERAL
+%endmacro
+
+// (ret) -> ()
+GLOBAL txn_record:
+    // key: count = 2 * bytelen(i), packed = i
+    %gm_load15(16)
+    DUP1
+    %stack (i) -> (i, tr_klen)
+    PUSH u256_bytelen
+    JUMP
+tr_klen:
+    // blen, i, ret
+    PUSH 2
+    MUL
+    // count, i, ret
+    // --- txn value: [len, bytes...] copied from RlpRaw[0..len) ---
+    %gm_load15(17)
+    // vlen, count, i, ret
+    DUP1
+    PUSH 1
+    ADD
+    %stack (n) -> (n, tr_valloc)
+    PUSH mpt_alloc
+    JUMP
+tr_valloc:
+    // v, vlen, count, i, ret
+    DUP1
+    DUP3
+    %tstore                     // TD[v] = vlen
+    // v, vlen, count, i, ret
+    DUP2
+    DUP2
+    PUSH 1
+    ADD
+    // v+1, vlen, v, vlen, count, i, ret
+    %stack (dst, n) -> (@SEGMENT_TRIE_DATA, dst, @SEGMENT_RLP_RAW, 0, n, tr_vcopied)
+    PUSH mem_copy
+    JUMP
+tr_vcopied:
+    // v, vlen, count, i, ret
+    SWAP1
+    POP
+    // v, count, i, ret
+    PUSH 5
+    PUSH @SEGMENT_GLOBAL_METADATA
+    PUSH 0
+    MLOAD_GENERAL
+    // txn_root, v, count, i, ret
+    %stack (root, v, count, i) -> (root, count, i, v, tr_tinserted, count, i)
+    PUSH mpt_insert
+    JUMP
+tr_tinserted:
+    // new_txn_root, count, i, ret
+    %gm_store15(5)
+    // count, i, ret
+    // --- receipt value: rlp([1, cum_gas, bloom(256 zero bytes), []]) ---
+    // build at TrieEncodedChild[720..]: 0x01, rlp(cum), 0xb9 0x01 0x00,
+    // 256 zero bytes, 0xc0; list-prefix backward from 720
+    PUSH 0x01
+    PUSH 720
+    %stack (pos, one) -> (0, @SEGMENT_TRIE_ENCODED_CHILD, pos, one)
+    MSTORE_GENERAL
+    %gm_load15(15)
+    // cum, count, i, ret
+    %stack (cum) -> (@SEGMENT_TRIE_ENCODED_CHILD, 721, cum, tr_rcum)
+    PUSH rlp_write_scalar
+    JUMP
+tr_rcum:
+    // a2, count, i, ret
+    DUP1
+    %stack (a2) -> (0, @SEGMENT_TRIE_ENCODED_CHILD, a2, 0xb9)
+    MSTORE_GENERAL
+    DUP1
+    PUSH 1
+    ADD
+    %stack (p) -> (0, @SEGMENT_TRIE_ENCODED_CHILD, p, 0x01)
+    MSTORE_GENERAL
+    DUP1
+    PUSH 2
+    ADD
+    %stack (p) -> (0, @SEGMENT_TRIE_ENCODED_CHILD, p, 0x00)
+    MSTORE_GENERAL
+    // zero the 256 bloom bytes (scratch is dirty)
+    DUP1
+    PUSH 3
+    ADD
+    // z = a2+3, a2, count, i, ret
+    DUP1
+    PUSH 256
+    ADD
+    // zend, z, a2, count, i, ret
+tr_bloom:
+    DUP2
+    DUP2
+    EQ
+    PUSH tr_bloomed
+    JUMPI
+    DUP2
+    %stack (p) -> (0, @SEGMENT_TRIE_ENCODED_CHILD, p, 0x00)
+    MSTORE_GENERAL
+    SWAP1
+    PUSH 1
+    ADD
+    SWAP1
+    PUSH tr_bloom
+    JUMP
+tr_bloomed:
+    // zend, z, a2, count, i, ret
+    SWAP1
+    POP
+    // zend, a2, count, i, ret
+    DUP1
+    %stack (p) -> (0, @SEGMENT_TRIE_ENCODED_CHILD, p, 0xc0)
+    MSTORE_GENERAL
+    PUSH 1
+    ADD
+    // rend = zend+1, a2, count, i, ret
+    SWAP1
+    POP
+    // rend, count, i, ret
+    DUP1
+    %stack (rend) -> (rend, 720)
+    SUB
+    // payload_len = rend - 720, rend, count, i, ret
+    %stack (plen) -> (@SEGMENT_TRIE_ENCODED_CHILD, 720, plen, tr_rlp)
+    PUSH rlp_write_list_prefix
+    JUMP
+tr_rlp:
+    // hstart, rend, count, i, ret
+    DUP2
+    DUP2
+    SWAP1
+    SUB
+    // rlen = rend - hstart, hstart, rend, count, i, ret
+    DUP1
+    PUSH 1
+    ADD
+    %stack (n) -> (n, tr_ralloc)
+    PUSH mpt_alloc
+    JUMP
+tr_ralloc:
+    // rv, rlen, hstart, rend, count, i, ret
+    DUP1
+    DUP3
+    %tstore                     // TD[rv] = rlen
+    // rv, rlen, hstart, rend, count, i, ret
+    DUP1
+    PUSH 1
+    ADD
+    // rv+1, rv, rlen, hstart, rend, count, i, ret
+    %stack (dst, rv, rlen, hstart) -> (@SEGMENT_TRIE_DATA, dst, @SEGMENT_TRIE_ENCODED_CHILD, hstart, rlen, tr_rcopied, rv)
+    PUSH mem_copy
+    JUMP
+tr_rcopied:
+    // rv, rend, count, i, ret
+    SWAP1
+    POP
+    // rv, count, i, ret
+    PUSH 6
+    PUSH @SEGMENT_GLOBAL_METADATA
+    PUSH 0
+    MLOAD_GENERAL
+    // rcpt_root, rv, count, i, ret
+    %stack (root, rv, count, i) -> (root, count, i, rv, tr_rinserted, i)
+    PUSH mpt_insert
+    JUMP
+tr_rinserted:
+    // new_rcpt_root, i, ret
+    %gm_store15(6)
+    // i, ret — bump the txn index
+    PUSH 1
+    ADD
+    %gm_store15(16)
+    JUMP
 
 // ---------------------------------------------------------------------------
 // signing hash (legacy / EIP-155) + in-kernel sender recovery.  The RLP

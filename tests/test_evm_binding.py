@@ -66,8 +66,7 @@ def setup():
 
 
 def _run_block_kernel(inputs, in_kernel_ecrecover=True, provider=None):
-    kernel = block_kernel(in_kernel_ecrecover=in_kernel_ecrecover,
-                          in_kernel_after_root=True)
+    kernel = block_kernel(in_kernel_ecrecover=in_kernel_ecrecover)
     provider = provider or BlockProverInputs(inputs)
     st = run_with_kernel(kernel, kernel.global_labels["main"], [],
                          prover_input=provider, max_steps=3_000_000,

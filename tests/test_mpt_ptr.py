@@ -330,3 +330,13 @@ def test_mpt_insert_extension_diverge(kernel):
     # diverges inside the extension prefix (0xAB7 vs 0xABC)
     key = Nibbles(64, (0xAB7 << (4 * 61)) | 0x777)
     _insert_and_check(kernel, trie, key, ACCOUNT_2)
+
+
+def test_mpt_insert_full_entropy_keys_cp0(kernel):
+    """Two 64-nibble keys diverging at the FIRST nibble: the remainder
+    computation must not route through 16^64 (which wraps to 0 in U256 —
+    the round-5 account-creation bug)."""
+    k1 = Nibbles(64, (0x2 << 252) | 0xF93D0DFB1562C03C)
+    k2 = Nibbles(64, (0xC << 252) | 0xEA3717B23A29F65B)
+    trie = PartialTrie.leaf(k1, ACCOUNT_1.encode())
+    _insert_and_check(kernel, trie, k2, ACCOUNT_2)

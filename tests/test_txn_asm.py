@@ -32,8 +32,10 @@ def _kernel(extra: str):
     from plonky2_tpu.evm.secp_asm import SECP_ASM
     consts = dict(evm_constants())
     consts.update(txn_field_constants())
+    from plonky2_tpu.evm.mpt_asm import MPT_ASM
     return assemble([parse(TXN_ASM + extra), parse(UTIL_ASM),
-                     parse(SECP_ASM)], consts, optimize=False)
+                     parse(SECP_ASM), parse(MPT_ASM)], consts,
+                    optimize=False)
 
 
 @pytest.fixture(scope="module")
@@ -92,7 +94,7 @@ GLOBAL test_gas_done:
     assert st.gas_used == 21_000 + 16 + 4 + 16
 
 
-def test_mpt_find_state_walks_random_tries():
+def test_mpt_read_walks_random_tries():
     kernel = _kernel("""
 GLOBAL test_find:
     // stack (bottom-first): key, cnt, ptr
@@ -100,11 +102,25 @@ GLOBAL test_find:
     SWAP3
     SWAP2
     SWAP1
-    PUSH mpt_find_state
+    PUSH mpt_read
     JUMP
 GLOBAL test_find_done:
     STOP
+GLOBAL test_load:
+    PUSH test_find_done
+    PUSH load_all_mpts
+    JUMP
 """)
+
+    class _Stream:
+        def __init__(self, data):
+            self.data, self.pos = list(data), 0
+
+        def __call__(self, fn, state):
+            v = self.data[self.pos]
+            self.pos += 1
+            return v
+
     rng = random.Random(1)
     for trial in range(8):
         accounts = {}
@@ -120,15 +136,22 @@ GLOBAL test_find_done:
                            transactions_trie=PartialTrie.empty(),
                            receipts_trie=PartialTrie.empty())
         data = mpt_mod.all_mpt_prover_inputs(tries)
-        segmem = {(0, int(Segment.TrieData), i): v
-                  for i, v in enumerate(data)}
+        st0 = run_with_kernel(kernel, kernel.global_labels["test_load"], [],
+                              prover_input=_Stream(data),
+                              halt_offsets=[
+                                  kernel.global_labels["test_find_done"]])
+        GM = int(Segment.GlobalMetadata)
+        TD = int(Segment.TrieData)
+        root = st0.segmem[(0, GM, 4)]
         for key, acct in accounts.items():
             st = run_with_kernel(kernel, kernel.global_labels["test_find"],
-                                 [key.packed, 64, 0], segmem=segmem)
+                                 [key.packed, 64, root],
+                                 segmem=st0.segmem)
             payload = st.stack[-1]
             assert payload != 0
-            assert data[payload] == acct.nonce
-            assert data[payload + 1] == acct.balance
+            assert st.segmem[(0, TD, payload)] == acct.nonce
+            assert st.segmem[(0, TD, payload + 1)] == acct.balance
         st = run_with_kernel(kernel, kernel.global_labels["test_find"],
-                             [secrets.randbits(256), 64, 0], segmem=segmem)
+                             [secrets.randbits(256), 64, root],
+                             segmem=st0.segmem)
         assert st.stack[-1] == 0
