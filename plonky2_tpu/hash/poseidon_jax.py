@@ -97,13 +97,21 @@ def _partial_round(carry, rc):
 def poseidon_t(state):
     """Permutation on transposed state: (lo, hi) pair of shape (12, B).
 
-    Delegates to the fast-partial-round schedule
-    (poseidon_wires_jax.poseidon_fast_t — ~25% fewer VPU ops than the
-    naive 30-round loop, bit-identical output)."""
-    from .poseidon_wires_jax import poseidon_fast_t
-
+    Round 5: uses the SCAN-over-rounds naive schedule.  The unrolled
+    fast-partial-round graph (~8.7k ops per permutation) dominated every
+    cold compile — the flagship TPU proof's XLA sponge modules took
+    36-235 s each to compile and the 8-device CPU dryrun minutes per
+    module — while at runtime the XLA sponge only covers narrow Merkle
+    tails, the challenger, and CPU test runs (the hot leaf/compress paths
+    ride the Pallas kernel, hash/poseidon_pallas.py).  The scan body is
+    one round (~300 ops), ~30x smaller to compile, bit-identical output.
+    Set PLONKY2_TPU_SPONGE_UNROLL=1 to restore the unrolled schedule."""
+    import os
     state = (jnp.asarray(state[0]), jnp.asarray(state[1]))
-    return poseidon_fast_t(state)
+    if os.environ.get("PLONKY2_TPU_SPONGE_UNROLL") == "1":
+        from .poseidon_wires_jax import poseidon_fast_t
+        return poseidon_fast_t(state)
+    return poseidon_t_naive(state)
 
 
 def poseidon_t_naive(state):
