@@ -7,7 +7,7 @@ N*K devices, and runs the COMPLETE sharded plonky2 proof (device witness
 plan, sharded commits with the four-step NTT's all-to-alls, compiled
 quotient program, fused device-Fiat-Shamir FRI) through the unmodified
 prover under `mesh_sharding`.  Every process executes the same SPMD
-program; process 0 verifies the proof and writes MULTIPROC_r04.json.
+program; process 0 verifies the proof and writes MULTIPROC_r05.json.
 
 BASELINE.md target addressed: ">= 75% scaling at N >= 2 hosts" cannot be
 *measured* without real multi-host ICI/DCN, but the sharded program
@@ -76,7 +76,7 @@ def worker(pid: int, log2_leaves: int) -> None:
                 "verified": True,
                 "prove_seconds_including_compile": round(dt, 1),
             }}
-        with open(os.path.join(REPO, "MULTIPROC_r04.json"), "w") as f:
+        with open(os.path.join(REPO, "MULTIPROC_r05.json"), "w") as f:
             json.dump(out, f, indent=1)
         print(json.dumps(out), flush=True)
 
