@@ -8,6 +8,15 @@ from contextlib import contextmanager
 from typing import List, Optional
 
 
+def _phase_trace() -> bool:
+    """PLONKY2_TPU_PHASE_TRACE=1: emit a JSON line to stderr as each
+    prover phase starts/ends — a killed long-compile run (the multichip
+    dryrun's round-4 failure mode) then still leaves evidence of how deep
+    it got."""
+    import os
+    return os.environ.get("PLONKY2_TPU_PHASE_TRACE") == "1"
+
+
 class _Scope:
     def __init__(self, name: str):
         self.name = name
@@ -26,11 +35,21 @@ class TimingTree:
         s = _Scope(name)
         self.stack[-1].children.append(s)
         self.stack.append(s)
+        trace = _phase_trace()
+        if trace:
+            import sys
+            print(f'{{"phase_start": "{name}"}}', file=sys.stderr,
+                  flush=True)
         try:
             yield
         finally:
             s.duration = time.perf_counter() - s.start
             self.stack.pop()
+            if trace:
+                import sys
+                print(f'{{"phase_end": "{name}", '
+                      f'"seconds": {s.duration:.1f}}}',
+                      file=sys.stderr, flush=True)
 
     def timed(self, name: str, fn, *args, **kwargs):
         with self.scope(name):
