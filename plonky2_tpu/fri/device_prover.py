@@ -35,6 +35,12 @@ from ..utils.bits import bit_reverse_indices
 from .config import FriParams
 from .proof import FriProof
 from .prover import fri_proof_of_work, fri_prover_query_rounds
+
+# Fold arities at or above this ride a lax.scan Horner loop instead of an
+# unrolled one (compile-time guard; results are bit-identical).  The
+# flagship arity-16 folds stay unrolled, so their cached XLA programs—
+# including the fused single-dispatch FRI—keep their cache keys.
+_SCAN_ARITY = 64
 from ..hash import poseidon as pos
 from ..hash.hashers import POSEIDON_CONFIG
 
@@ -219,6 +225,7 @@ def _commit_body(v_br, n: int, arity: int, cap_height: int):
 def _fold_body(coeffs, b_ext, n: int, arity: int, shift: int):
     """coeffs: (2, n) pair; b_ext: ext scalar ((lo,hi),(lo,hi)) -> next
     (values_br, coeffs) at size n/arity."""
+    import jax
     import jax.numpy as jnp
 
     from ..field import gf2_jax as gf2
@@ -228,14 +235,35 @@ def _fold_body(coeffs, b_ext, n: int, arity: int, shift: int):
     ch = (coeffs[0].reshape(2, m, arity), coeffs[1].reshape(2, m, arity))
     acc = ((ch[0][0, :, arity - 1], ch[1][0, :, arity - 1]),
            (ch[0][1, :, arity - 1], ch[1][1, :, arity - 1]))
-    for i in range(arity - 2, -1, -1):
-        term = ((ch[0][0, :, i], ch[1][0, :, i]),
-                (ch[0][1, :, i], ch[1][1, :, i]))
-        acc = gf2.add2(gf2.mul2(acc, (
-            (jnp.broadcast_to(b_ext[0][0], (m,)),
-             jnp.broadcast_to(b_ext[0][1], (m,))),
-            (jnp.broadcast_to(b_ext[1][0], (m,)),
-             jnp.broadcast_to(b_ext[1][1], (m,))))), term)
+    if arity >= _SCAN_ARITY:
+        # High-arity Horner as lax.scan: the unrolled loop below emits
+        # ~50 HLO ops per step, and at arity 256 the 255-step graph took
+        # XLA:CPU's SPMD partitioner >25 min to compile (observed in the
+        # 8-device dryrun).  Same op order -> bit-identical results.
+        b_bc = ((jnp.broadcast_to(b_ext[0][0], (m,)),
+                 jnp.broadcast_to(b_ext[0][1], (m,))),
+                (jnp.broadcast_to(b_ext[1][0], (m,)),
+                 jnp.broadcast_to(b_ext[1][1], (m,))))
+        xs = ((ch[0][0, :, arity - 2::-1].T, ch[1][0, :, arity - 2::-1].T),
+              (ch[0][1, :, arity - 2::-1].T, ch[1][1, :, arity - 2::-1].T))
+
+        def step(a, term):
+            return gf2.add2(gf2.mul2(a, b_bc), term), None
+
+        acc, _ = jax.lax.scan(step, acc, xs)
+    else:
+        # NOTE: keep this branch's trace byte-identical to the pre-scan
+        # version (broadcasts re-created per iteration): the flagship's
+        # fused FRI program inlines it, and changing the jaxpr would
+        # churn the persistent-cache key of an already-warm TPU program.
+        for i in range(arity - 2, -1, -1):
+            term = ((ch[0][0, :, i], ch[1][0, :, i]),
+                    (ch[0][1, :, i], ch[1][1, :, i]))
+            acc = gf2.add2(gf2.mul2(acc, (
+                (jnp.broadcast_to(b_ext[0][0], (m,)),
+                 jnp.broadcast_to(b_ext[0][1], (m,))),
+                (jnp.broadcast_to(b_ext[1][0], (m,)),
+                 jnp.broadcast_to(b_ext[1][1], (m,))))), term)
     new_coeffs = (jnp.stack([acc[0][0], acc[1][0]]),
                   jnp.stack([acc[0][1], acc[1][1]]))   # (2, m)
     vals = jntt.coset_ntt(new_coeffs, shift)
