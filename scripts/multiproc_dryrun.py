@@ -25,12 +25,13 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_PROC = 2
-DEV_PER_PROC = 4
-PORT = 19765
+DEV_PER_PROC = int(os.environ.get("MP_DEV_PER_PROC", "4"))
+PORT = int(os.environ.get("MP_DRYRUN_PORT", "19765"))
 
 
 def worker(pid: int, log2_leaves: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("PLONKY2_TPU_PHASE_TRACE", "1")
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                f" --xla_force_host_platform_device_count="
                                f"{DEV_PER_PROC}").strip()
@@ -39,18 +40,39 @@ def worker(pid: int, log2_leaves: int) -> None:
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{PORT}",
                                num_processes=N_PROC, process_id=pid)
-    # Dedicated persistent compile cache (separate from the TPU/test
-    # caches): on a 1-core box a fresh-cache attempt can fail when one
-    # worker cache-hits an entry the other just wrote and races ahead of
-    # gloo's ~30 s collective-rendezvous window — but every attempt
-    # extends the cache monotonically, and a fully-cached attempt replays
-    # both workers in lockstep.  Without any cache, each retry recompiles
-    # the whole prover twice per process and a 2-process run needs >50
-    # minutes of compile before its first chance to succeed.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache_mp"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # One compile per program FLEET-WIDE: for each module an elected
+    # process compiles, every other process blocks (with a generous
+    # timeout) until the serialized binary arrives via the coordinator KV
+    # store.  Without this, both workers compile every program
+    # concurrently on the one shared core; whoever finishes first
+    # dispatches and then dies in gloo's FIXED 30 s context rendezvous
+    # while the other is still compiling.
+    #
+    # Deliberately NO persistent disk cache here: compile_or_get_cached
+    # consults the disk cache BEFORE the sharing protocol, so a stale
+    # cache lets one worker disk-hit a module and dispatch while the
+    # OTHER worker is the elected compiler-and-sharer for it — observed
+    # (via MP_DRYRUN_STACKS=1 stack dumps) as worker0 dying at
+    # cpu:gloo/... 30 s rendezvous with worker1 parked in
+    # _compile_and_share_module.  share_binary alone keeps both workers
+    # in lockstep on every module.
+    # MP_SHARE_BINARY=0 opts out: on a single shared core the election can
+    # interleave compile and dispatch ACROSS modules (observed: worker0
+    # dispatching jax's implicit process_allgather while worker1 was still
+    # the elected compiler of a bigger module), recreating the skew it is
+    # meant to fix; with identical per-worker compiles and sync dispatch
+    # the workers stay naturally aligned instead.
+    if os.environ.get("MP_SHARE_BINARY", "1") == "1":
+        jax.config.update("jax_share_binary_between_hosts", True)
+        jax.config.update("jax_share_binary_between_hosts_timeout_ms",
+                          30 * 60 * 1000)
+    # Synchronous dispatch: with async dispatch the collective thunks run
+    # on background executor threads that contend (2 procs x 4 virtual
+    # devices x thread pools) for ONE physical core, so a runnable
+    # collective can starve past gloo's fixed 30 s context rendezvous no
+    # matter how aligned the python threads are.  Synchronous dispatch
+    # ties execution to the barrier-aligned main threads.
+    jax.config.update("jax_cpu_enable_async_dispatch", False)
     from jax.sharding import Mesh
 
     from plonky2_tpu.models.hash_tree import build_hash_tree_circuit
@@ -61,6 +83,34 @@ def worker(pid: int, log2_leaves: int) -> None:
     data, pw, root = build_hash_tree_circuit(_fast_config(), log2_leaves)
     mesh = Mesh(jax.devices(), ("d",))
     sess = ProverSession(data, use_device=True)
+    # Re-sync before the first collective: the pure-python circuit build
+    # above takes minutes per worker on a shared core, so workers reach
+    # the first sharded dispatch arbitrarily far apart — and gloo's
+    # context rendezvous has a FIXED 30 s deadline (observed: every
+    # attempt died at the same cpu:gloo key with zero cache growth).
+    # The coordinator's KV barrier takes an explicit timeout, so use it
+    # to absorb the build skew instead.
+    from jax._src import distributed
+    distributed.global_state.client.wait_at_barrier(
+        "plonky2_tpu_prebuilt", timeout_in_ms=30 * 60 * 1000)
+    if os.environ.get("MP_DRYRUN_STACKS") == "1":
+        # skew diagnosis: dump the main thread's stack every 10 s
+        import threading
+        import traceback
+        main_id = threading.get_ident()
+
+        def dump():
+            while True:
+                time.sleep(10)
+                frm = sys._current_frames().get(main_id)
+                if frm is not None:
+                    stk = traceback.extract_stack(frm)[-3:]
+                    print(f"[stack pid{pid} t={time.perf_counter():.0f}] "
+                          + " <- ".join(f"{s.name}:{s.lineno}"
+                                        for s in reversed(stk)),
+                          flush=True)
+
+        threading.Thread(target=dump, daemon=True).start()
     t0 = time.perf_counter()
     with mesh_sharding(mesh):
         proof = sess.prove(pw)
