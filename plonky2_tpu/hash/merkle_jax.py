@@ -28,6 +28,24 @@ _MIN_PALLAS_N = 1 << 11
 _PALLAS_TILE = 1 << 11
 
 
+def _sponge_tile(L: int, N: int) -> int:
+    """Lane-tile for the Pallas sponge, scaled down for tall leaf columns.
+
+    Mosaic double-buffers each (L, tile) lo/hi leaf block, so VMEM cost is
+    ~L*tile*4B*2(buffers)*2(lo,hi).  The default tile 2048 fits the
+    flagship's L=238 (7.8 MB) but a wide STARK trace commit (EVM CPU
+    table: L=2481, observed) hits 77.75 MB against the 16 MB scoped
+    limit.  Halve the tile until the block fits a 14 MB budget (under the
+    16 MB default, with headroom for the kernel's state/tables); the
+    flagship shape keeps tile 2048 (same kernel, same cache key)."""
+    t = _PALLAS_TILE
+    while t > 256 and L * t * 16 > 14 * 1024 * 1024:
+        t //= 2
+    if L * t * 16 > 14 * 1024 * 1024:
+        return 0   # even the smallest tile can't fit: use the XLA sponge
+    return t
+
+
 def _pallas_mode():
     from . import poseidon_pallas as pp
     if not pp.sponge_enabled():
@@ -44,9 +62,10 @@ def hash_leaves_or_noop_cols(leaves):
         return (jnp.pad(lo, ((0, pad), (0, 0))),
                 jnp.pad(hi, ((0, pad), (0, 0))))
     interp = _pallas_mode()
-    if interp is not None and N >= _MIN_PALLAS_N and N % _PALLAS_TILE == 0:
+    tile = _sponge_tile(L, N)
+    if interp is not None and tile and N >= _MIN_PALLAS_N and N % tile == 0:
         from . import poseidon_pallas as pp
-        return pp.hash_leaves_cols_pallas(leaves, tile=_PALLAS_TILE,
+        return pp.hash_leaves_cols_pallas(leaves, tile=tile,
                                           interpret=interp)
     return pj.hash_leaves_cols(leaves)
 
